@@ -1,0 +1,162 @@
+"""Blocked right-looking Cholesky (POTRF), TPU-first.
+
+The reference implements this algorithm three ways (SURVEY §3): as a
+Chameleon/StarPU dynamic task DAG (``v6_test.c:54-57``), as an ArmoniK
+distributed task DAG (``client_distrib.cpp:506-565``), and as a didactic
+hand-blocked C loop (``lapack_dpotrf_remix_c.c:11-52``: per panel —
+dsyrk trailing correction, unblocked diagonal factor, dgemm+dtrsm panel
+update). Here the *same* right-looking schedule is expressed once as a pure
+jitted function and XLA's static schedule replaces the dynamic scheduler
+entirely (the design premise of the rebuild — SURVEY §1 L1 "TPU mapping").
+
+Two single-device strategies are provided:
+
+- :func:`potrf_blocked` — the fast path. The outer panel loop is unrolled at
+  trace time (the tile count is static), so every panel solve and trailing
+  GEMM has its exact static shape: no masking waste, true Cholesky flop
+  count. The trailing update is split into column panels of width
+  ``update_cols`` so only the lower-trapezoid blocks are computed (a full
+  square trailing GEMM would double the update flops); ``update_cols`` trades
+  GEMM size (MXU efficiency) against wasted upper-triangle flops.
+
+- :func:`potrf_masked` — the generic path: a ``lax.fori_loop`` over panels
+  with dynamic slices and masking, giving a compile-once program whose size
+  is independent of the tile count (used where trace-time unrolling is
+  unwanted, e.g. very large tile counts or as a loop body under other
+  transforms). It does full-width masked updates (≈3× flops) by construction.
+
+Both operate on/return only the lower triangle as meaningful data.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dla_tpu.ops import gemm, potrf_unblocked, trsm
+
+DiagFactor = Literal["lax", "unblocked"]
+
+
+def _chol_tile(d: jax.Array, diag_factor: DiagFactor) -> jax.Array:
+    if diag_factor == "unblocked":
+        return potrf_unblocked(d)
+    # symmetrize_input=False: tiles arrive lower-triangle-only (the upper
+    # half is zeros by construction); the default symmetrization would
+    # silently halve the off-diagonal entries.
+    return lax.linalg.cholesky(d, symmetrize_input=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "update_cols", "diag_factor")
+)
+def potrf_blocked(
+    a: jax.Array,
+    *,
+    nb: int = 256,
+    update_cols: int | None = None,
+    diag_factor: DiagFactor = "lax",
+) -> jax.Array:
+    """Right-looking blocked Cholesky, panel loop unrolled at trace time.
+
+    Args:
+      a: (n, n) SPD matrix; only the lower triangle is read.
+      nb: panel (tile) width — the reference's ``NB`` sweep axis
+        (``benchmark.c:80``). n need not be a multiple of nb.
+      update_cols: trailing-update column-panel width (defaults to
+        ``max(nb, n // 8)`` rounded to a multiple of nb).
+      diag_factor: how the nb×nb diagonal block is factored.
+
+    Returns:
+      L (lower triangular, strict upper = 0) with A = L @ L.T.
+    """
+    n = a.shape[-1]
+    if update_cols is None:
+        update_cols = max(nb, (n // 8 // nb) * nb or nb)
+    out = jnp.tril(a)
+    for off in range(0, n, nb):
+        w = min(nb, n - off)
+        d = out[off : off + w, off : off + w]
+        lkk = jnp.tril(_chol_tile(d, diag_factor))
+        out = out.at[off : off + w, off : off + w].set(lkk)
+        t0 = off + w
+        if t0 >= n:
+            break
+        # Panel solve: L[t0:, k] = A[t0:, k] @ inv(L_kk)^T
+        pb = out[t0:, off : off + w]
+        lp = trsm(1.0, lkk, pb, side="R", uplo="L", transa=True)
+        out = out.at[t0:, off : off + w].set(lp)
+        # Trailing update on the lower trapezoid, by column panels.
+        for c0 in range(t0, n, update_cols):
+            cw = min(update_cols, n - c0)
+            rows = lp[c0 - t0 :, :]
+            cols = lp[c0 - t0 : c0 - t0 + cw, :]
+            out = out.at[c0:, c0 : c0 + cw].set(
+                gemm(-1.0, rows, cols, 1.0, out[c0:, c0 : c0 + cw], transb=True)
+            )
+    return jnp.tril(out)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "diag_factor"))
+def potrf_masked(
+    a: jax.Array, *, nb: int = 256, diag_factor: DiagFactor = "lax"
+) -> jax.Array:
+    """Right-looking blocked Cholesky as a single ``fori_loop`` over panels.
+
+    Program size is O(1) in the tile count (vs O(Nb) for the unrolled path);
+    every iteration does a full-height panel solve and a full-matrix masked
+    trailing update, which is the compile-time/flops tradeoff documented in
+    the module docstring.
+    """
+    n = a.shape[-1]
+    if n % nb != 0:
+        raise ValueError(f"potrf_masked requires n % nb == 0, got {n} % {nb}")
+    ntiles = n // nb
+    rows = jnp.arange(n)[:, None]
+
+    def body(k, acc):
+        off = k * nb
+        panel = lax.dynamic_slice(acc, (0, off), (n, nb))
+        diag = lax.dynamic_slice(panel, (off, jnp.zeros_like(off)), (nb, nb))
+        lkk = jnp.tril(_chol_tile(diag, diag_factor))
+        sol = trsm(1.0, lkk, panel, side="R", uplo="L", transa=True)
+        below = rows >= off + nb
+        newpanel = jnp.where(below, sol, jnp.zeros((), acc.dtype))
+        newpanel = lax.dynamic_update_slice(newpanel, lkk, (off, 0))
+        acc = lax.dynamic_update_slice(acc, newpanel, (0, off))
+        lp = jnp.where(below, newpanel, jnp.zeros((), acc.dtype))
+        acc = gemm(-1.0, lp, lp, 1.0, acc, transb=True)
+        return acc
+
+    out = lax.fori_loop(0, ntiles, body, jnp.tril(a))
+    return jnp.tril(out)
+
+
+def potrf(
+    a: jax.Array,
+    *,
+    nb: int = 256,
+    mode: Literal["blocked", "masked"] = "blocked",
+    **kw,
+) -> jax.Array:
+    """Factor an SPD matrix: A = L·L^T, returning lower-triangular L.
+
+    The top-level entry mirroring ``CHAMELEON_dpotrf_Tile(ChamLower, descA)``
+    (``v6_test.c:57``). ``nb`` plays the role of the descriptor tile size.
+    """
+    if mode == "blocked":
+        return potrf_blocked(a, nb=nb, **kw)
+    if mode == "masked":
+        n = a.shape[-1]
+        if n % nb:
+            pad = nb - n % nb
+            ap = jnp.zeros((n + pad, n + pad), a.dtype)
+            ap = ap.at[:n, :n].set(jnp.tril(a))
+            ap = ap.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1)
+            return potrf_masked(ap, nb=nb, **kw)[:n, :n]
+        return potrf_masked(a, nb=nb, **kw)
+    raise ValueError(f"unknown mode {mode!r}")

@@ -1,0 +1,87 @@
+"""Solve path: POTRS (triangular solves), POSV, and mixed-precision
+iterative refinement.
+
+This is the "full solve + mixed precision" capability from the rebuild's
+north star (BASELINE.json config 3): factor in an MXU-friendly precision
+(fp32 / bf16), then recover fp64-grade *solution* accuracy by classical
+iterative refinement (Wilkinson; cf. PAPERS.md tile-algorithm literature):
+
+    x0 = L^-T L^-1 b          (low precision factor)
+    repeat: r = b - A x       (wide precision residual)
+            d = L^-T L^-1 r   (low precision correction solve)
+            x += d
+
+The refinement loop converges to a backward error at the wide precision's
+unit roundoff as long as A is not too ill-conditioned for the factor
+precision — giving ≤1e-10 solve residuals from fp32 factors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dla_tpu.algos.potrf import potrf_blocked
+from dla_tpu.ops import trsm
+
+
+def potrs(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A·X = B given A = L·L^T: two blocked triangular solves
+    (forward then back substitution). Mirrors LAPACK ``dpotrs``; the
+    reference ships the factor path only, the solve path is part of the
+    rebuild's north star (BASELINE.json)."""
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    y = trsm(1.0, l, bb, side="L", uplo="L", transa=False)
+    x = trsm(1.0, l, y, side="L", uplo="L", transa=True)
+    return x[:, 0] if vec else x
+
+
+def posv(a: jax.Array, b: jax.Array, *, nb: int = 256, **kw):
+    """Factor + solve (LAPACK ``dposv``). Returns (L, X)."""
+    l = potrf_blocked(a, nb=nb, **kw)
+    return l, potrs(l, b)
+
+
+def _symmetrize_lower(a: jax.Array) -> jax.Array:
+    return jnp.tril(a) + jnp.tril(a, -1).T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb", "factor_dtype", "wide_dtype", "iters"),
+)
+def posv_refined(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    nb: int = 256,
+    factor_dtype=jnp.float32,
+    wide_dtype=None,
+    iters: int = 8,
+):
+    """Mixed-precision POSV: factor A in ``factor_dtype`` on the MXU, refine
+    the solution in ``wide_dtype`` (defaults to f64 under x64, else f32).
+
+    Returns (L_lowprec, X_wide, final_residual_normest).
+    """
+    if wide_dtype is None:
+        wide_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    aw = _symmetrize_lower(a).astype(wide_dtype)
+    bw = b.astype(wide_dtype)
+    l = potrf_blocked(aw.astype(factor_dtype), nb=nb)
+
+    def solve_low(r):
+        return potrs(l, r.astype(factor_dtype)).astype(wide_dtype)
+
+    x = solve_low(bw)
+
+    def body(_, x):
+        r = bw - jnp.matmul(aw, x, preferred_element_type=wide_dtype)
+        return x + solve_low(r)
+
+    x = jax.lax.fori_loop(0, iters, body, x)
+    r = bw - jnp.matmul(aw, x, preferred_element_type=wide_dtype)
+    return l, x, jnp.max(jnp.abs(r))

@@ -1,0 +1,120 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from dla_tpu import plgsy, potrf, residual_potrf
+from dla_tpu.algos import posv, posv_refined, potrf_blocked, potrf_masked, potrs
+from dla_tpu.validate import PASS_THRESHOLD, cholesky_invariants
+
+
+def _spd(n, dtype=np.float64, seed=0):
+    rng = np.random.default_rng(seed)
+    g = rng.standard_normal((n, n))
+    return np.asarray((g + g.T) / 2 + n * np.eye(n), dtype=dtype)
+
+
+class TestPotrfBlocked:
+    @pytest.mark.parametrize("n,nb", [(64, 16), (128, 32), (256, 64), (100, 32), (37, 16)])
+    def test_vs_lapack(self, n, nb):
+        a = _spd(n, seed=n + nb)
+        got = np.asarray(potrf_blocked(jnp.asarray(a), nb=nb))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_residual_gate_fp64(self):
+        """The reference's own 1e-10 PASS gate (v6_test.c:87) — which its
+        recorded runs never met (SURVEY §4.1) — must actually pass here,
+        on the reference's own generator (dplgsy-style, bump=N, seeded)."""
+        n = 512
+        a = plgsy(n, seed=51, dtype=jnp.float64)
+        l = potrf_blocked(a, nb=128)
+        res = float(residual_potrf(a, l))
+        assert res < PASS_THRESHOLD, res
+
+    def test_diag_factor_unblocked(self):
+        n = 128
+        a = _spd(n, seed=9)
+        got = np.asarray(potrf_blocked(jnp.asarray(a), nb=32, diag_factor="unblocked"))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_update_cols_granularity(self):
+        n = 256
+        a = _spd(n, seed=10)
+        ref = scipy.linalg.cholesky(a, lower=True)
+        for uc in (64, 128, 256):
+            got = np.asarray(potrf_blocked(jnp.asarray(a), nb=64, update_cols=uc))
+            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_lower_only_input(self):
+        """Only the lower triangle of A may be read (the reference's
+        validation bug came from violating this — SURVEY Appendix A)."""
+        n = 96
+        a = _spd(n, seed=11)
+        garbage = np.triu(np.full((n, n), np.nan), 1)
+        a_dirty = np.tril(a) + garbage
+        got = np.asarray(potrf_blocked(jnp.asarray(a_dirty), nb=32))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_invariants(self):
+        a = plgsy(128, seed=4, dtype=jnp.float64)
+        l = potrf_blocked(a, nb=32)
+        inv = cholesky_invariants(l)
+        assert int(inv.nan_count) == 0
+        assert int(inv.inf_count) == 0
+        assert float(inv.diag_min) > 0
+        assert float(inv.upper_maxabs) == 0.0
+
+
+class TestPotrfMasked:
+    @pytest.mark.parametrize("n,nb", [(64, 16), (128, 32), (128, 128)])
+    def test_vs_lapack(self, n, nb):
+        a = _spd(n, seed=n)
+        got = np.asarray(potrf_masked(jnp.asarray(a), nb=nb))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_non_multiple_via_potrf_wrapper(self):
+        a = _spd(100, seed=13)
+        got = np.asarray(potrf(jnp.asarray(a), nb=32, mode="masked"))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_matches_blocked(self):
+        a = _spd(192, seed=14)
+        lm = np.asarray(potrf_masked(jnp.asarray(a), nb=64))
+        lb = np.asarray(potrf_blocked(jnp.asarray(a), nb=64))
+        np.testing.assert_allclose(lm, lb, rtol=1e-12, atol=1e-12)
+
+
+class TestSolve:
+    def test_potrs(self):
+        n = 128
+        a = _spd(n, seed=20)
+        b = np.random.default_rng(21).standard_normal((n, 4))
+        l, x = posv(jnp.asarray(a), jnp.asarray(b), nb=32)
+        np.testing.assert_allclose(a @ np.asarray(x), b, rtol=1e-8, atol=1e-8)
+
+    def test_potrs_vector(self):
+        n = 64
+        a = _spd(n, seed=22)
+        b = np.random.default_rng(23).standard_normal(n)
+        l = potrf_blocked(jnp.asarray(a), nb=32)
+        x = np.asarray(potrs(l, jnp.asarray(b)))
+        np.testing.assert_allclose(a @ x, b, rtol=1e-8, atol=1e-8)
+
+    def test_mixed_precision_refinement_hits_fp64_grade(self):
+        """fp32 factor + fp64 refinement must reach ≤1e-10 solve residual
+        (north star, BASELINE.json config 3)."""
+        n = 256
+        a = jnp.asarray(_spd(n, seed=30))
+        b = jnp.asarray(np.random.default_rng(31).standard_normal((n, 2)))
+        l, x, _ = posv_refined(a, b, nb=64, factor_dtype=jnp.float32, iters=6)
+        from dla_tpu.validate import residual_posv
+
+        res = float(residual_posv(a, b, x))
+        assert res < 1e-10, res
+        assert l.dtype == jnp.float32
+        assert x.dtype == jnp.float64
