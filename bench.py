@@ -1,0 +1,105 @@
+"""Headline benchmark: single-chip tiled POTRF GFLOP/s on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N}
+
+Baseline: the reference's repo-best 204.8 GFLOP/s — fp64 DPOTRF at N=16000,
+NB=448, hybrid 3CPU+1GPU via Chameleon/StarPU (BASELINE.md; bench.csv).
+GFLOP/s accounting matches the reference exactly: (1/3)·N³ / t
+(``v6_test.c:60`` — no lower-order terms).
+
+Diagnostics (residual, invariants, per-iter times) go to stderr; stdout is
+the single JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+BASELINE_GFLOPS = 204.8  # reference repo-best (BASELINE.md)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 16384))
+    nb = int(os.environ.get("BENCH_NB", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+
+    import jax
+    import jax.numpy as jnp
+
+    from dla_tpu.algos import potrf_blocked
+    from dla_tpu.ops import plgsy
+    from dla_tpu.validate import residual_potrf
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"N={n} NB={nb} dtype=float32 iters={iters}")
+
+    dtype = jnp.float32
+
+    def step(s):
+        # generate + factor under one jit; the per-iteration bump
+        # perturbation keeps any execution-level caching honest. Generation
+        # is O(N²) elementwise — noise next to the O(N³/3) factorization.
+        a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
+        a = a + s * jnp.eye(n, dtype=dtype)
+        return potrf_blocked(a, nb=nb)
+
+    fn = jax.jit(step)
+
+    t0 = time.perf_counter()
+    l = fn(jnp.float32(0.0))
+    # force through a device->host readback (block_until_ready alone does
+    # not reliably wait on this remote-TPU path)
+    _ = float(l[0, 0])
+    t1 = time.perf_counter()
+    log(f"compile+first run: {t1 - t0:.1f}s")
+
+    times = []
+    for i in range(iters):
+        s = jnp.float32((i + 1) * 1e-3)
+        t0 = time.perf_counter()
+        l = fn(s)
+        _ = float(l[n - 1, n - 1])  # readback forces completion
+        t1 = time.perf_counter()
+        times.append(t1 - t0)
+        log(f"iter {i}: {t1 - t0:.4f}s -> {(n**3 / 3) / (t1 - t0) / 1e9:.1f} GFLOP/s")
+
+    t = sorted(times)[len(times) // 2]  # median, matching plot_grid_all.py
+    gflops = (n**3 / 3) / t / 1e9
+
+    @jax.jit
+    def check(l, s):
+        a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
+        a = a + s * jnp.eye(n, dtype=dtype)
+        return residual_potrf(a, l)
+
+    res = float(check(l, jnp.float32(iters * 1e-3)))
+    log(f"Performance: {gflops:.2f} Gflop/s")
+    log(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"POTRF fp32 N={n} NB={nb} single-chip",
+                "value": round(gflops, 1),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(gflops / BASELINE_GFLOPS, 2),
+                "residual": res,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Benchmark sweep harness — the TPU-native ``benchmark.c``.
+
+Reproduces the reference harness's semantics (``benchmark.c:69-298``):
+
+- a config matrix swept as N × NB × device-config × repeats — but the matrix
+  lives in a JSON profile (or kwargs), not recompiled C arrays
+  (``benchmark.c:76-101``, SURVEY §5.6);
+- **subprocess isolation per run**: each measurement fork/execs the driver
+  CLI so a crash/misconfig can't poison the sweep (the reference pipes and
+  parses the child's stdout — ``benchmark.c:229-271`` — and so do we);
+- repeat 0 is the warm-up/compile repeat, the ``STARPU_CALIBRATE=1``
+  analogue (``benchmark.c:201``) — on TPU it pays the XLA compile; it is
+  recorded with ``run_idx=0`` like the reference and excluded from medians
+  by the plot layer (``plot_grid_all.py:45-49`` behavior);
+- the child's ``Performance:`` / residual lines are the parse contract
+  (``benchmark.c:45-67``);
+- CSV rows appended incrementally so interrupted sweeps resume
+  (``fopen "a"`` — ``benchmark.c:109``); schema is the reference's
+  ``timestamp,scheduler,mapping,ncpu,ngpu,N,NB,run_idx,ms,exit_code,gflops,
+  rel_error`` (``benchmark.c:114``) extended with ``device,mesh,dtype,mode``
+  (scheduler is always "xla-static": the dynamic scheduler dimension
+  disappears by design — SURVEY §1 L1);
+- ANSI-colored progress with ``NO_COLOR`` support (``benchmark.c:18-21``).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from typing import Iterable, Sequence
+
+CSV_COLUMNS = [
+    "timestamp",
+    "scheduler",
+    "mapping",
+    "ncpu",
+    "ngpu",
+    "N",
+    "NB",
+    "run_idx",
+    "ms",
+    "exit_code",
+    "gflops",
+    "rel_error",
+    # extensions over the reference schema:
+    "device",
+    "mesh",
+    "dtype",
+    "mode",
+]
+
+_PERF_RE = re.compile(r"Performance:\s*([0-9.eE+-]+)\s*Gflop/s")
+_RES_RE = re.compile(r"\|\|A - LL\^T\|\|_inf / \|\|A\|\|_inf\s*=\s*([0-9.eE+-]+)")
+_ELAPSED_RE = re.compile(r"Elapsed:\s*([0-9.eE+-]+)\s*ms")
+
+
+def _color(code: str, s: str) -> str:
+    if os.environ.get("NO_COLOR"):
+        return s
+    return f"\x1b[{code}m{s}\x1b[0m"
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """One sweep campaign (the JSON-profile replacement for the compiled-in
+    tables at ``benchmark.c:76-101``)."""
+
+    ns: Sequence[int] = (1024, 4096, 8192)
+    nbs: Sequence[int] = (128, 256, 512)
+    dtypes: Sequence[str] = ("float32",)
+    modes: Sequence[str] = ("blocked",)
+    meshes: Sequence[tuple[int, int]] = ((1, 1),)
+    repeats: int = 8  # repeat 0 = warm-up/compile (calibration analogue)
+    platform: str | None = None
+    gen: str = "plgsy"
+    timeout_s: float = 900.0
+
+    @classmethod
+    def from_json(cls, path: str) -> "SweepConfig":
+        with open(path) as f:
+            d = json.load(f)
+        if "meshes" in d:
+            d["meshes"] = [tuple(m) for m in d["meshes"]]
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def parse_metrics(stdout: str) -> tuple[float | None, float | None, float | None]:
+    """Extract (gflops, rel_error, elapsed_ms) from driver stdout — the same
+    text contract the reference harness greps (``benchmark.c:45-67``)."""
+    perf = _PERF_RE.search(stdout)
+    res = _RES_RE.search(stdout)
+    ms = _ELAPSED_RE.search(stdout)
+    return (
+        float(perf.group(1)) if perf else None,
+        float(res.group(1)) if res else None,
+        float(ms.group(1)) if ms else None,
+    )
+
+
+def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform) -> list[str]:
+    cmd = [
+        sys.executable,
+        "-m",
+        "dla_tpu.cli.potrf_driver",
+        "--n",
+        str(n),
+        "--nb",
+        str(nb),
+        "--dtype",
+        dtype,
+        "--mode",
+        mode,
+        "--gen",
+        gen,
+    ]
+    if mode == "distributed":
+        cmd += ["--p", str(mesh[0]), "--q", str(mesh[1])]
+    if platform:
+        cmd += ["--platform", platform]
+    return cmd
+
+
+def run_sweep(
+    cfg: SweepConfig,
+    csv_path: str = "results/bench.csv",
+    *,
+    env: dict | None = None,
+    echo: bool = True,
+) -> list[dict]:
+    """Run the sweep, appending one CSV row per (config, repeat).
+
+    Returns the list of row dicts. Resumable: rows already present in the
+    CSV (same N, NB, dtype, mode, mesh, run_idx) are skipped, which is the
+    behavior the reference achieved with append-mode CSVs across harness
+    restarts (SURVEY §5.3).
+    """
+    os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+    done: set[tuple] = set()
+    if os.path.exists(csv_path):
+        with open(csv_path) as f:
+            for row in csv.DictReader(f):
+                done.add(
+                    (
+                        int(row["N"]),
+                        int(row["NB"]),
+                        row.get("dtype", ""),
+                        row.get("mode", ""),
+                        row.get("mesh", ""),
+                        int(row["run_idx"]),
+                    )
+                )
+    new_file = not os.path.exists(csv_path) or os.path.getsize(csv_path) == 0
+    rows: list[dict] = []
+    with open(csv_path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+        if new_file:
+            writer.writeheader()
+            f.flush()
+        for dtype in cfg.dtypes:
+            for mode in cfg.modes:
+                for mesh in cfg.meshes if mode == "distributed" else [(1, 1)]:
+                    for n in cfg.ns:
+                        for nb in cfg.nbs:
+                            if n % nb:
+                                continue
+                            if mode == "distributed" and (
+                                (n // nb) % mesh[0] or (n // nb) % mesh[1]
+                            ):
+                                continue
+                            for rep in range(cfg.repeats):
+                                key = (
+                                    n,
+                                    nb,
+                                    dtype,
+                                    mode,
+                                    f"{mesh[0]}x{mesh[1]}",
+                                    rep,
+                                )
+                                if key in done:
+                                    continue
+                                row = _run_one(
+                                    cfg, n, nb, dtype, mode, mesh, rep, env
+                                )
+                                writer.writerow(row)
+                                f.flush()
+                                rows.append(row)
+                                if echo:
+                                    ok = row["exit_code"] == 0
+                                    tag = (
+                                        _color("32", "ok")
+                                        if ok
+                                        else _color("31", f"rc={row['exit_code']}")
+                                    )
+                                    print(
+                                        f"[sweep] N={n} NB={nb} {dtype} {mode} "
+                                        f"mesh={mesh[0]}x{mesh[1]} rep={rep}: "
+                                        f"{row['gflops']} GF/s "
+                                        f"res={row['rel_error']} {tag}",
+                                        flush=True,
+                                    )
+    return rows
+
+
+def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
+    cmd = _driver_cmd(n, nb, dtype, mode, mesh, cfg.gen, cfg.platform)
+    run_env = dict(os.environ)
+    if cfg.platform == "cpu":
+        # CPU-only child: skip the axon TPU plugin registration entirely
+        # (slow/flaky over the tunnel, and it overrides platform selection)
+        run_env["PALLAS_AXON_POOL_IPS"] = ""
+        run_env["JAX_PLATFORMS"] = "cpu"
+    if env:
+        run_env.update(env)
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            timeout=cfg.timeout_s,
+            env=run_env,
+        )
+        exit_code = proc.returncode
+        out = proc.stdout
+    except subprocess.TimeoutExpired as e:
+        exit_code = 124
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+    wall_ms = (time.perf_counter() - t0) * 1e3
+    gf, res, ms = parse_metrics(out)
+    return {
+        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+        "scheduler": "xla-static",
+        "mapping": "tpu-chip" if cfg.platform != "cpu" else "cpu-sim",
+        "ncpu": 0,
+        "ngpu": 0,
+        "N": n,
+        "NB": nb,
+        "run_idx": rep,
+        "ms": round(ms if ms is not None else wall_ms, 3),
+        "exit_code": exit_code,
+        "gflops": gf if gf is not None else "",
+        "rel_error": res if res is not None else "",
+        "device": cfg.platform or "tpu",
+        "mesh": f"{mesh[0]}x{mesh[1]}",
+        "dtype": dtype,
+        "mode": mode,
+    }
+
+
+def main(argv: Iterable[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="dla-bench-sweep")
+    ap.add_argument("--profile", help="JSON sweep profile", default=None)
+    ap.add_argument("--csv", default="results/bench.csv")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--repeats", type=int, default=None)
+    args = ap.parse_args(list(argv) if argv is not None else None)
+    cfg = SweepConfig.from_json(args.profile) if args.profile else SweepConfig()
+    if args.platform:
+        cfg = dataclasses.replace(cfg, platform=args.platform)
+    if args.repeats:
+        cfg = dataclasses.replace(cfg, repeats=args.repeats)
+    run_sweep(cfg, args.csv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

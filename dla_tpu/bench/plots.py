@@ -1,0 +1,135 @@
+"""Plotting layer — parity with the reference's matplotlib scripts.
+
+- :func:`plot_perf_grid` ↔ ``plot_grid_all.py``: per-(device-config) grid of
+  GFLOP/s-vs-N curves, one line per NB, filtered to ``exit_code == 0``
+  (``plot_grid_all.py:39``), **median over timed repeats** (run_idx > 0,
+  the compile repeat excluded; the reference medians over repeats at
+  ``plot_grid_all.py:45-49``), hardware-peak reference lines (vs MXU peak,
+  not the reference's 243.2/300 CPU/GPU peaks — ``plot_grid_all.py:155-156``)
+  and a "Best" annotation per panel (``plot_grid_all.py:117-126``).
+- :func:`plot_residuals` ↔ ``plot_residuals_per_scheduler.py``: log-scale
+  residual-vs-N per config — with mapping names that actually match the CSV
+  (the reference's don't: SURVEY Appendix A).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+# v5e fp32-accum MXU peak per chip; override per-hardware via env.
+DEFAULT_PEAK_GFLOPS = float(os.environ.get("DLA_TPU_PEAK_GFLOPS", 9.18e4))
+
+
+def load_bench_csv(path: str) -> pd.DataFrame:
+    df = pd.read_csv(path)
+    df = df[df["exit_code"] == 0]
+    df = df[df["gflops"].notna()]
+    return df
+
+
+def median_over_repeats(df: pd.DataFrame) -> pd.DataFrame:
+    """Median GFLOP/s over timed repeats (run_idx > 0 excludes the
+    compile/calibration repeat)."""
+    timed = df[df["run_idx"] > 0]
+    group_cols = [c for c in ("mode", "mesh", "dtype", "N", "NB") if c in timed]
+    return (
+        timed.groupby(group_cols, as_index=False)
+        .agg(gflops=("gflops", "median"), rel_error=("rel_error", "median"))
+    )
+
+
+def plot_perf_grid(
+    csv_path: str,
+    out_path: str = "results/perf_grid.png",
+    *,
+    peak_gflops: float = DEFAULT_PEAK_GFLOPS,
+):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    df = median_over_repeats(load_bench_csv(csv_path))
+    configs = sorted(df.groupby(["mode", "mesh", "dtype"]).groups)
+    ncols = max(1, len(configs))
+    fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 4.5), squeeze=False)
+    for ax, key in zip(axes[0], configs):
+        mode, mesh, dtype = key
+        sub = df[(df["mode"] == mode) & (df["mesh"] == mesh) & (df["dtype"] == dtype)]
+        for nb, g in sub.groupby("NB"):
+            g = g.sort_values("N")
+            ax.plot(g["N"], g["gflops"], marker="o", label=f"NB={nb}")
+        if len(sub):
+            best = sub.loc[sub["gflops"].idxmax()]
+            ax.annotate(
+                f"Best: {best['gflops']:.0f} GF/s\n(N={best['N']}, NB={best['NB']})",
+                xy=(best["N"], best["gflops"]),
+                xytext=(0.55, 0.15),
+                textcoords="axes fraction",
+                arrowprops={"arrowstyle": "->"},
+            )
+        ax.axhline(peak_gflops, ls="--", c="gray", lw=1, label="MXU peak")
+        ax.set_title(f"{mode} {mesh} {dtype}")
+        ax.set_xlabel("N")
+        ax.set_ylabel("GFLOP/s")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_residuals(csv_path: str, out_path: str = "results/residuals.png"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    df = load_bench_csv(csv_path)
+    df = df[df["rel_error"].notna() & (df["run_idx"] > 0)]
+    configs = sorted(df.groupby(["mode", "dtype"]).groups)
+    ncols = max(1, len(configs))
+    fig, axes = plt.subplots(1, ncols, figsize=(5 * ncols, 4), squeeze=False)
+    for ax, key in zip(axes[0], configs):
+        mode, dtype = key
+        sub = df[(df["mode"] == mode) & (df["dtype"] == dtype)]
+        for nb, g in sub.groupby("NB"):
+            med = g.groupby("N", as_index=False)["rel_error"].median()
+            ax.semilogy(med["N"], med["rel_error"], marker="s", label=f"NB={nb}")
+        ax.axhline(1e-10, ls=":", c="red", lw=1, label="1e-10 gate")
+        ax.set_title(f"residual — {mode} {dtype}")
+        ax.set_xlabel("N")
+        ax.set_ylabel("||A-LL^T||/||A||")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="dla-bench-plots")
+    ap.add_argument("csv")
+    ap.add_argument("--out-dir", default="results")
+    ap.add_argument("--peak", type=float, default=DEFAULT_PEAK_GFLOPS)
+    args = ap.parse_args(argv)
+    p1 = plot_perf_grid(
+        args.csv, os.path.join(args.out_dir, "perf_grid.png"), peak_gflops=args.peak
+    )
+    p2 = plot_residuals(args.csv, os.path.join(args.out_dir, "residuals.png"))
+    print(p1)
+    print(p2)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -98,15 +98,22 @@ def plgsy_tile(
     return vals
 
 
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("bump", "dtype"))
 def plgsy(n: int, *, bump: float | None = None, seed: int = 51, dtype=jnp.float32) -> jax.Array:
     """Full n×n seeded symmetric matrix with diagonal bump (default bump=n,
     matching ``dplgsy_Tile((double)N, ChamLower, descA, seed)`` at
-    ``v6_test.c:46`` which makes the matrix SPD by diagonal dominance)."""
+    ``v6_test.c:46`` which makes the matrix SPD by diagonal dominance).
+
+    Jitted as one fused elementwise program — eager execution would dispatch
+    ~10 separate N² kernels (prohibitive on a remote-TPU path)."""
     if bump is None:
         bump = float(n)
     return plgsy_tile(seed, 0, 0, n, n, bump=bump, dtype=dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("bump", "eps", "dtype")
+)
 def spd_gershgorin(
     n: int, *, seed: int = 12345, bump: float = 100.0, eps: float = 1e-8, dtype=jnp.float32
 ) -> jax.Array:

@@ -1,0 +1,8 @@
+from dla_tpu.parallel.block_cyclic import (  # noqa: F401
+    BlockCyclicLayout,
+    from_dense,
+    generate_spd_block_cyclic,
+    make_mesh,
+    to_dense,
+)
+from dla_tpu.parallel.potrf_dist import potrf_block_cyclic  # noqa: F401

@@ -1,0 +1,134 @@
+"""Multi-chip block-cyclic right-looking POTRF via shard_map + collectives.
+
+This is the reference's distributed Cholesky DAG (ArmoniK client wave loop,
+``client_distrib.cpp:506-565``: POTRF(k,k) → TRSM(i,k) → SYRK/GEMM(i,j,k))
+re-expressed the TPU way — and actually *concurrent*, where the reference
+serialized every task on ``wait_for_result_availability``
+(``client_distrib.cpp:499``). Per panel step k:
+
+1. **diag factor** — the owning device's NB×NB tile is broadcast with a
+   masked ``psum`` over both mesh axes (tiny), and every device factors it
+   redundantly (cheaper than a second broadcast of the factor).
+2. **panel solve (TRSM)** — devices in mesh column (k mod q) solve their
+   local rows of tile-column k against L_kk in one batched triangular solve.
+3. **panel broadcast** — masked ``psum`` over the 'c' axis hands every
+   device the panel rows it owns (the A operand of the trailing GEMM);
+   an ``all_gather`` over 'r' assembles the full panel so each device can
+   select the transposed rows matching its local tile columns (the B
+   operand). These are the ICI collectives that replace the reference's
+   gRPC blob fetches (SURVEY §5.8).
+4. **trailing update** — one local GEMM ``M[t:, t:] -= A_op @ B_op^T`` per
+   device per step, on statically-shrinking windows: after step k, local
+   tile rows < ceil((k+1-p+1)/p) are finished for *every* device in the
+   column, so the window start is a static Python index (the outer k loop
+   is unrolled at trace time) and only a one-tile boundary needs masking.
+   Block-cyclic ownership keeps the shrinking trailing matrix balanced —
+   the reason PxQ grids exist in the reference's descriptor API.
+
+Numerical contract is identical to the single-chip path: lower triangle
+only, validated against the same 1e-10 fp64 gate in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+from dla_tpu.parallel.block_cyclic import BlockCyclicLayout
+
+
+def _acc(dtype):
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
+def _potrf_local(x, layout: BlockCyclicLayout):
+    """The per-device SPMD program (runs under shard_map)."""
+    nb, p, q, ltr, ltc = layout.nb, layout.p, layout.q, layout.ltr, layout.ltc
+    nt = layout.ntiles
+    r = lax.axis_index("r")
+    c = lax.axis_index("c")
+    dtype = x.dtype
+    zero = jnp.zeros((), dtype)
+
+    # global tile-row index of each local element row (traced via r)
+    gtrow = (jnp.arange(ltr * nb) // nb) * p + r  # (ltr*nb,)
+    gtcol = (jnp.arange(ltc * nb) // nb) * q + c  # (ltc*nb,)
+
+    for k in range(nt):
+        kr, kc = k % p, k % q
+        lik, ljk = k // p, k // q  # local tile coords on the owner (static)
+
+        # --- 1. broadcast + factor the diagonal tile -----------------------
+        dblk = x[lik * nb : (lik + 1) * nb, ljk * nb : (ljk + 1) * nb]
+        own_diag = (r == kr) & (c == kc)
+        contrib = jnp.where(own_diag, dblk, zero)
+        diag = lax.psum(contrib, ("r", "c"))
+        lkk = jnp.tril(lax.linalg.cholesky(diag, symmetrize_input=False))
+
+        # --- 2. panel solve on mesh column kc ------------------------------
+        col = x[:, ljk * nb : (ljk + 1) * nb]  # (ltr*nb, nb)
+        solved = lax.linalg.triangular_solve(
+            lkk, col, left_side=False, lower=True, transpose_a=True
+        )
+        below = (gtrow > k)[:, None]
+        in_kc = c == kc
+        newcol = jnp.where(below & in_kc, solved, col)
+        x = x.at[:, ljk * nb : (ljk + 1) * nb].set(newcol)
+        # re-read the block after the column update: on non-owner devices this
+        # local position holds a freshly-solved panel tile that must persist
+        cur = x[lik * nb : (lik + 1) * nb, ljk * nb : (ljk + 1) * nb]
+        x = x.at[lik * nb : (lik + 1) * nb, ljk * nb : (ljk + 1) * nb].set(
+            jnp.where(own_diag, lkk, cur)
+        )
+
+        if k == nt - 1:
+            break
+
+        # --- 3. panel broadcast ---------------------------------------------
+        panel_contrib = jnp.where(below & in_kc, newcol, zero)
+        # every device in a mesh row gets its own panel rows (A operand)
+        panel_rows = lax.psum(panel_contrib, "c")  # (ltr*nb, nb)
+        # full panel for the transposed operand selection (B operand)
+        panel_full = lax.all_gather(panel_rows, "r")  # (p, ltr*nb, nb)
+
+        # --- 4. trailing update on a statically-shrinking window -----------
+        # local tile row li is dead for every device iff li*p + (p-1) <= k,
+        # so the first live local tile row is (k+1)//p — a static index.
+        li0 = (k + 1) // p
+        lj0 = (k + 1) // q
+        t_r, t_c = li0 * nb, lj0 * nb
+        a_op = jnp.where((gtrow[t_r:] > k)[:, None], panel_rows[t_r:], zero)
+        # B operand: panel tile rows matching this device's local tile cols
+        j_elem = jnp.arange(t_c, ltc * nb)
+        jtile = (j_elem // nb) * q + c  # global tile col (traced)
+        sel_r = jtile % p
+        sel_m = (jtile // p) * nb + j_elem % nb
+        b_op = panel_full[sel_r, sel_m, :]  # ((ltc*nb - t_c), nb)
+        b_op = jnp.where((gtcol[t_c:] > k)[:, None], b_op, zero)
+        upd = jnp.matmul(a_op, b_op.T, preferred_element_type=_acc(dtype))
+        x = x.at[t_r:, t_c:].add(-upd.astype(dtype))
+
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "mesh"))
+def _potrf_jit(x, layout: BlockCyclicLayout, mesh: Mesh):
+    f = jax.shard_map(
+        functools.partial(_potrf_local, layout=layout),
+        mesh=mesh,
+        in_specs=layout.spec(),
+        out_specs=layout.spec(),
+        check_vma=False,
+    )
+    return f(x)
+
+
+def potrf_block_cyclic(x: jax.Array, layout: BlockCyclicLayout, mesh: Mesh) -> jax.Array:
+    """Distributed POTRF of a cyclic-permuted sharded matrix (see
+    ``block_cyclic.from_dense``). Returns the factor in the same layout;
+    only lower-triangle tiles are meaningful."""
+    return _potrf_jit(x, layout, mesh)

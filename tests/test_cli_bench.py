@@ -1,0 +1,199 @@
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from dla_tpu.bench.harness import SweepConfig, parse_metrics, run_sweep
+from dla_tpu.cli.session import dag_counts
+from dla_tpu.utils.config import RunConfig
+from dla_tpu.utils.flops import (
+    gemm_tile_flops,
+    potrf_flops,
+    syrk_tile_flops,
+    trsm_tile_flops,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # skip the axon TPU plugin registration in CPU-only child processes
+    # (it is flaky/slow over the tunnel and irrelevant for these tests)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _run(cmd, **kw):
+    return subprocess.run(
+        cmd, capture_output=True, text=True, env=_env(), timeout=600, **kw
+    )
+
+
+class TestConfig:
+    def test_dtype_aliases(self):
+        assert RunConfig(n=8, nb=4, dtype="d").dtype == "float64"
+        assert RunConfig(n=8, nb=4, dtype="s").dtype == "float32"
+        with pytest.raises(ValueError):
+            RunConfig(n=8, nb=4, dtype="z")  # complex unsupported
+
+    def test_layering_env_over_json(self, tmp_path):
+        prof = tmp_path / "appsettings.json"
+        prof.write_text(json.dumps({"n": 100, "nb": 10, "seed": 1}))
+        cfg = RunConfig.layered(
+            json_path=str(prof), env={"CHOLESKY_N": "64"}, nb=16
+        )
+        assert cfg.n == 64  # env beats JSON
+        assert cfg.nb == 16  # flag beats JSON
+        assert cfg.seed == 1  # JSON fills the rest
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            RunConfig(n=-1, nb=4)
+        with pytest.raises(ValueError):
+            RunConfig(n=8, nb=4, uplo="U")
+
+
+class TestFlops:
+    def test_counts(self):
+        assert potrf_flops(12) == 12**3 / 3
+        assert trsm_tile_flops(4) == 64  # corrected: B^3, not 0.5*B^3
+        assert syrk_tile_flops(4) == 64
+        assert gemm_tile_flops(4) == 128
+
+
+class TestDagCounts:
+    def test_reference_demo_size(self):
+        """The reference's N=12,B=4 demo is 3x3 tiles -> 14 tasks
+        (client wave loop, client_distrib.cpp:506-565)."""
+        c = dag_counts(3)
+        assert c == {"POTRF": 3, "TRSM": 3, "SYRK": 3, "GEMM": 1, "total": 10}
+
+    @pytest.mark.parametrize("nt", [1, 2, 3, 5, 8])
+    def test_matches_enumeration(self, nt):
+        potrf = trsm = syrk = gemm = 0
+        for k in range(nt):
+            potrf += 1
+            for i in range(k + 1, nt):
+                trsm += 1
+                for j in range(k + 1, i + 1):
+                    if i == j:
+                        syrk += 1
+                    else:
+                        gemm += 1
+        c = dag_counts(nt)
+        assert (c["POTRF"], c["TRSM"], c["SYRK"], c["GEMM"]) == (
+            potrf,
+            trsm,
+            syrk,
+            gemm,
+        )
+
+
+class TestParseMetrics:
+    def test_parse(self):
+        out = (
+            "[dla-potrf] blah\nElapsed: 12.3 ms\n"
+            "Performance: 123.45 Gflop/s\n"
+            "||A - LL^T||_inf / ||A||_inf = 5.46e-16\nPASS\n"
+        )
+        gf, res, ms = parse_metrics(out)
+        assert gf == 123.45 and res == 5.46e-16 and ms == 12.3
+
+
+@pytest.mark.slow
+class TestDriverEndToEnd:
+    def test_driver_fp64_gate(self):
+        r = _run(
+            [
+                sys.executable,
+                "-m",
+                "dla_tpu.cli.potrf_driver",
+                "--n",
+                "256",
+                "--nb",
+                "64",
+                "--dtype",
+                "d",
+                "--platform",
+                "cpu",
+            ]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "Performance:" in r.stdout
+        assert "PASS" in r.stdout
+
+    def test_driver_distributed(self):
+        r = _run(
+            [
+                sys.executable,
+                "-m",
+                "dla_tpu.cli.potrf_driver",
+                "--n",
+                "128",
+                "--nb",
+                "16",
+                "--dtype",
+                "d",
+                "--mode",
+                "distributed",
+                "--p",
+                "2",
+                "--q",
+                "2",
+                "--platform",
+                "cpu",
+            ]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "PASS" in r.stdout
+
+    def test_session_cli_env_config(self):
+        env = _env()
+        env["CHOLESKY_N"] = "64"
+        env["CHOLESKY_B"] = "16"
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "dla_tpu.cli.session",
+                "--platform",
+                "cpu",
+                "--x64",
+                "--dtype",
+                "d",
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=600,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "[CLIENT] DAG:" in r.stdout
+        assert "PASS" in r.stdout
+
+    def test_sweep_harness_csv(self, tmp_path):
+        csv_path = str(tmp_path / "bench.csv")
+        cfg = SweepConfig(
+            ns=(64,),
+            nbs=(16, 32),
+            dtypes=("float64",),
+            repeats=2,
+            platform="cpu",
+            timeout_s=590,
+        )
+        rows = run_sweep(cfg, csv_path, echo=False)
+        assert len(rows) == 4  # 2 NBs x 2 repeats
+        with open(csv_path) as f:
+            rows2 = list(csv.DictReader(f))
+        assert len(rows2) == 4
+        assert all(r["exit_code"] == "0" for r in rows2)
+        assert all(r["scheduler"] == "xla-static" for r in rows2)
+        # resume: re-running adds nothing
+        rows3 = run_sweep(cfg, csv_path, echo=False)
+        assert rows3 == []
