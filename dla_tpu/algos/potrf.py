@@ -52,7 +52,8 @@ def _chol_tile(d: jax.Array, diag_factor: DiagFactor) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "update_cols", "diag_factor")
+    jax.jit,
+    static_argnames=("nb", "update_cols", "diag_factor", "panel", "trailing"),
 )
 def potrf_blocked(
     a: jax.Array,
@@ -60,44 +61,70 @@ def potrf_blocked(
     nb: int = 256,
     update_cols: int | None = None,
     diag_factor: DiagFactor = "lax",
+    panel: Literal["xla", "pallas"] = "xla",
+    trailing: Literal["xla", "pallas"] = "xla",
 ) -> jax.Array:
     """Right-looking blocked Cholesky, panel loop unrolled at trace time.
 
     Args:
       a: (n, n) SPD matrix; only the lower triangle is read.
       nb: panel (tile) width — the reference's ``NB`` sweep axis
-        (``benchmark.c:80``). n need not be a multiple of nb.
+        (``benchmark.c:80``). n need not be a multiple of nb (xla paths).
       update_cols: trailing-update column-panel width (defaults to
         ``max(nb, n // 8)`` rounded to a multiple of nb).
-      diag_factor: how the nb×nb diagonal block is factored.
+      diag_factor: how the nb×nb diagonal block is factored (xla panel path).
+      panel: "pallas" fuses diag factor + inverse + all panel solves into one
+        kernel launch (requires n % nb == 0).
+      trailing: "pallas" runs each trailing wave as one kernel over
+        lower-triangle tile pairs only (requires n % nb == 0).
 
     Returns:
       L (lower triangular, strict upper = 0) with A = L @ L.T.
     """
     n = a.shape[-1]
+    if (panel == "pallas" or trailing == "pallas") and n % nb:
+        raise ValueError(f"pallas paths require n % nb == 0, got {n} % {nb}")
     if update_cols is None:
         update_cols = max(nb, (n // 8 // nb) * nb or nb)
     out = jnp.tril(a)
     for off in range(0, n, nb):
         w = min(nb, n - off)
-        d = out[off : off + w, off : off + w]
-        lkk = jnp.tril(_chol_tile(d, diag_factor))
-        out = out.at[off : off + w, off : off + w].set(lkk)
         t0 = off + w
+
+        if panel == "pallas":
+            from dla_tpu.kernels.pallas_tiles import panel_factor
+
+            newp = panel_factor(out[off:, off : off + w])
+            out = out.at[off:, off : off + w].set(newp)
+            lp = newp[w:]
+        else:
+            d = out[off : off + w, off : off + w]
+            lkk = jnp.tril(_chol_tile(d, diag_factor))
+            out = out.at[off : off + w, off : off + w].set(lkk)
+            if t0 >= n:
+                break
+            # Panel solve: L[t0:, k] = A[t0:, k] @ inv(L_kk)^T
+            pb = out[t0:, off : off + w]
+            lp = trsm(1.0, lkk, pb, side="R", uplo="L", transa=True)
+            out = out.at[t0:, off : off + w].set(lp)
         if t0 >= n:
             break
-        # Panel solve: L[t0:, k] = A[t0:, k] @ inv(L_kk)^T
-        pb = out[t0:, off : off + w]
-        lp = trsm(1.0, lkk, pb, side="R", uplo="L", transa=True)
-        out = out.at[t0:, off : off + w].set(lp)
-        # Trailing update on the lower trapezoid, by column panels.
-        for c0 in range(t0, n, update_cols):
-            cw = min(update_cols, n - c0)
-            rows = lp[c0 - t0 :, :]
-            cols = lp[c0 - t0 : c0 - t0 + cw, :]
-            out = out.at[c0:, c0 : c0 + cw].set(
-                gemm(-1.0, rows, cols, 1.0, out[c0:, c0 : c0 + cw], transb=True)
+
+        if trailing == "pallas":
+            from dla_tpu.kernels.pallas_tiles import trailing_update_lower
+
+            out = out.at[t0:, t0:].set(
+                trailing_update_lower(out[t0:, t0:], lp, tb=nb)
             )
+        else:
+            # Trailing update on the lower trapezoid, by column panels.
+            for c0 in range(t0, n, update_cols):
+                cw = min(update_cols, n - c0)
+                rows = lp[c0 - t0 :, :]
+                cols = lp[c0 - t0 : c0 - t0 + cw, :]
+                out = out.at[c0:, c0 : c0 + cw].set(
+                    gemm(-1.0, rows, cols, 1.0, out[c0:, c0 : c0 + cw], transb=True)
+                )
     return jnp.tril(out)
 
 
@@ -136,11 +163,57 @@ def potrf_masked(
     return jnp.tril(out)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nb", "update_cols", "diag_factor")
+)
+def potrf_shrink(
+    a: jax.Array,
+    *,
+    nb: int = 512,
+    update_cols: int | None = None,
+    diag_factor: DiagFactor = "lax",
+) -> jax.Array:
+    """Right-looking Cholesky on a *shrinking* trailing matrix — the
+    compile-friendliest formulation.
+
+    Unlike :func:`potrf_blocked`, which updates an (n, n) buffer in place
+    via dynamic-update-slices, this variant re-materializes the shrinking
+    trailing matrix functionally each panel step (slices + one GEMM; no DUS
+    chain for XLA's copy-insertion to chew on) and assembles L from column
+    strips at the end. Extra cost: the trailing update is computed on the
+    full trailing square (2× the SYRK flops — still ~2N³/3 total MXU work)
+    and the trailing matrix is rewritten per step (~N³/(3·nb) HBM traffic,
+    negligible for nb ≥ 256). Input may be lower-only; the trailing square
+    is kept symmetric internally.
+    """
+    n = a.shape[-1]
+    del update_cols  # accepted for interface parity; shrink updates square
+    t = jnp.tril(a)
+    t = t + jnp.tril(t, -1).swapaxes(-1, -2)  # symmetric trailing invariant
+    strips = []
+    for off in range(0, n, nb):
+        m = n - off
+        w = min(nb, m)
+        lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+        if m > w:
+            lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True)
+            strip = jnp.concatenate([lkk, lp], axis=0)  # (m, w)
+            t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
+        else:
+            strip = lkk
+        if off:
+            strip = jnp.concatenate(
+                [jnp.zeros((off, w), a.dtype), strip], axis=0
+            )
+        strips.append(strip)
+    return jnp.concatenate(strips, axis=1)
+
+
 def potrf(
     a: jax.Array,
     *,
     nb: int = 256,
-    mode: Literal["blocked", "masked"] = "blocked",
+    mode: Literal["blocked", "masked", "shrink"] = "blocked",
     **kw,
 ) -> jax.Array:
     """Factor an SPD matrix: A = L·L^T, returning lower-triangular L.
@@ -150,6 +223,8 @@ def potrf(
     """
     if mode == "blocked":
         return potrf_blocked(a, nb=nb, **kw)
+    if mode == "shrink":
+        return potrf_shrink(a, nb=nb, **kw)
     if mode == "masked":
         n = a.shape[-1]
         if n % nb:

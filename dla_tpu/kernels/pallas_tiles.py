@@ -1,0 +1,325 @@
+"""Pallas TPU kernels for the four tile ops and fused panel variants.
+
+The reference's task DAG is built from exactly four per-tile kernels
+dispatched through Chameleon→StarPU→OpenBLAS/cuBLAS
+(``worker_distrib.cpp:238/:323/:416/:511``). Here they are Pallas kernels:
+
+- :func:`potrf_tile`    — unblocked lower Cholesky of one NB×NB tile in
+  VMEM (n vectorized VPU rank-1 updates), *fused with* the triangular
+  inverse of the factor. Producing inv(L_kk) turns every downstream panel
+  TRSM into a plain MXU GEMM (``B @ inv(L)^T``) — the standard
+  tile-algorithm transformation; a true triangular solve is
+  latency-bound on a systolic array.
+- :func:`trsm_tile`     — tile solve against a pre-inverted factor (MXU dot).
+- :func:`syrk_tile`     — C ← C − A·A^T on the lower triangle (MXU + mask).
+- :func:`gemm_tile`     — C ← C − A_i·A_j^T (MXU).
+- :func:`panel_factor`  — the fused hot kernel: one ``pallas_call`` factors
+  the diagonal tile, keeps inv(L_kk) in VMEM scratch (scratch persists
+  across the sequential TPU grid), and streams every below-diagonal panel
+  tile through the MXU — the whole panel step of the right-looking
+  algorithm in a single kernel launch instead of one StarPU task per tile.
+- :func:`trailing_update_lower` — the trailing SYRK/GEMM wave for one panel
+  as a single kernel: a 1D grid over the *lower-triangle tile pairs only*
+  (scalar-prefetched (i, j) lists drive the BlockSpec index maps), so no
+  flops are spent on the upper triangle that a plain square GEMM would
+  compute.
+
+All kernels run in interpret mode off-TPU (CPU tests), compiled Mosaic on
+TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dla_tpu.utils.precision import matmul_precision
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pet(dtype):
+    """MXU accumulation dtype: fp32 for narrow floats, else the input's."""
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16, jnp.float32) else dtype
+
+
+def _rows_cols(n: int):
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return rows, cols
+
+
+def _factor_lower(a: jax.Array) -> jax.Array:
+    """Unblocked lower Cholesky by n vectorized rank-1 updates (VPU).
+
+    Mosaic cannot dynamically index loop-carried *values*, so column j is
+    extracted with a masked row-reduction instead of a slice — every
+    iteration is dense (n, n) VPU work (~4n³ total elementwise ops per tile;
+    tens of microseconds at NB=256). Reads only the lower triangle;
+    returns tril(L).
+    """
+    n = a.shape[-1]
+    rows, cols = _rows_cols(n)
+    rvec = rows[:, :1]  # (n, 1) — everything stays 2D for Mosaic layouts
+    zero = jnp.zeros((), a.dtype)
+    pet = _pet(a.dtype)
+
+    def body(j, acc):
+        colmask = cols == j
+        col = jnp.sum(jnp.where(colmask, acc, zero), axis=1, keepdims=True)
+        piv = jnp.sqrt(jnp.sum(jnp.where(rvec == j, col, zero)))
+        col = col / piv
+        colj = jnp.where(rvec > j, col, zero)  # (n, 1)
+        newcol = jnp.where(rvec == j, piv, colj)
+        acc = jnp.where(colmask, newcol, acc)
+        outer = lax.dot_general(
+            colj, colj, (((1,), (1,)), ((), ())), preferred_element_type=pet, precision=matmul_precision()
+        ).astype(a.dtype)
+        return acc - outer
+
+    l = lax.fori_loop(0, n, body, a)
+    return jnp.where(rows >= cols, l, zero)
+
+
+def _invert_lower(l: jax.Array) -> jax.Array:
+    """inv(L) by column-oriented forward substitution (n rank-1 VPU steps,
+    masked extraction — see :func:`_factor_lower`)."""
+    n = l.shape[-1]
+    rows, cols = _rows_cols(n)
+    rvec = rows[:, :1]
+    zero = jnp.zeros((), l.dtype)
+    pet = _pet(l.dtype)
+    eye = jnp.where(rows == cols, jnp.ones((), l.dtype), zero)
+    ldiag = jnp.sum(jnp.where(rows == cols, l, zero), axis=1, keepdims=True)
+
+    def body(j, x):
+        rowmask = rows == j
+        xrow = jnp.sum(jnp.where(rowmask, x, zero), axis=0, keepdims=True)
+        piv = jnp.sum(jnp.where(rvec == j, ldiag, zero))
+        xrow = xrow / piv
+        x = jnp.where(rowmask, xrow, x)
+        colj = jnp.where(
+            rvec > j,
+            jnp.sum(jnp.where(cols == j, l, zero), axis=1, keepdims=True),
+            zero,
+        )
+        outer = lax.dot_general(
+            colj, xrow, (((1,), (0,)), ((), ())), preferred_element_type=pet, precision=matmul_precision()
+        ).astype(l.dtype)
+        return x - outer
+
+    x = lax.fori_loop(0, n, body, eye)
+    return jnp.where(rows >= cols, x, zero)
+
+
+# ---------------------------------------------------------------------------
+# Single-tile kernels (API parity with the reference's 4 task kernels)
+# ---------------------------------------------------------------------------
+
+
+def _potrf_inv_kernel(a_ref, l_ref, linv_ref):
+    l = _factor_lower(a_ref[:])
+    l_ref[:] = l
+    linv_ref[:] = _invert_lower(l)
+
+
+def potrf_tile(a: jax.Array, *, interpret: bool | None = None):
+    """Factor one SPD tile: returns (L, inv(L)). ↔ the reference's POTRF
+    task (``worker_distrib.cpp:238``), fused with the inverse."""
+    interpret = _interpret() if interpret is None else interpret
+    return pl.pallas_call(
+        _potrf_inv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(a.shape, a.dtype),
+            jax.ShapeDtypeStruct(a.shape, a.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(a)
+
+
+def _trsm_kernel(linv_ref, b_ref, out_ref):
+    out_ref[:] = jnp.dot(
+        b_ref[:], linv_ref[:].T, preferred_element_type=_pet(out_ref.dtype), precision=matmul_precision()
+    ).astype(out_ref.dtype)
+
+
+def trsm_tile(linv: jax.Array, b: jax.Array, *, interpret: bool | None = None):
+    """B ← B·inv(L)^T given the pre-inverted factor (MXU GEMM). ↔ the
+    reference's TRSM task (``worker_distrib.cpp:323``) after the
+    solve→multiply transformation."""
+    interpret = _interpret() if interpret is None else interpret
+    return pl.pallas_call(
+        _trsm_kernel,
+        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(linv, b)
+
+
+def _syrk_kernel(c_ref, a_ref, out_ref):
+    n = c_ref.shape[0]
+    rows, cols = _rows_cols(n)
+    upd = c_ref[:] - jnp.dot(
+        a_ref[:], a_ref[:].T, preferred_element_type=_pet(c_ref.dtype), precision=matmul_precision()
+    ).astype(c_ref.dtype)
+    out_ref[:] = jnp.where(rows >= cols, upd, c_ref[:])
+
+
+def syrk_tile(c: jax.Array, a: jax.Array, *, interpret: bool | None = None):
+    """C ← C − A·A^T on the lower triangle (upper passthrough). ↔ the
+    reference's SYRK task (``worker_distrib.cpp:416``)."""
+    interpret = _interpret() if interpret is None else interpret
+    return pl.pallas_call(
+        _syrk_kernel,
+        out_shape=jax.ShapeDtypeStruct(c.shape, c.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(c, a)
+
+
+def _gemm_kernel(c_ref, ai_ref, aj_ref, out_ref):
+    out_ref[:] = c_ref[:] - jnp.dot(
+        ai_ref[:], aj_ref[:].T, preferred_element_type=_pet(c_ref.dtype), precision=matmul_precision()
+    ).astype(c_ref.dtype)
+
+
+def gemm_tile(c: jax.Array, ai: jax.Array, aj: jax.Array, *, interpret: bool | None = None):
+    """C ← C − A_i·A_j^T. ↔ the reference's GEMM task
+    (``worker_distrib.cpp:511``)."""
+    interpret = _interpret() if interpret is None else interpret
+    return pl.pallas_call(
+        _gemm_kernel,
+        out_shape=jax.ShapeDtypeStruct(c.shape, c.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(c, ai, aj)
+
+
+# ---------------------------------------------------------------------------
+# Fused panel factor: diag POTRF + inverse + all panel TRSMs in one launch
+# ---------------------------------------------------------------------------
+
+
+def _panel_kernel(p_ref, out_ref, linv_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        l = _factor_lower(p_ref[:])
+        out_ref[:] = l
+        linv_ref[:] = _invert_lower(l)
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[:] = jnp.dot(
+            p_ref[:], linv_ref[:].T, preferred_element_type=_pet(out_ref.dtype), precision=matmul_precision()
+        ).astype(out_ref.dtype)
+
+
+def panel_factor(panel: jax.Array, *, interpret: bool | None = None) -> jax.Array:
+    """Factor a column panel [[A_kk], [A_ik...]] of shape (m, nb), m a
+    multiple of nb: block 0 becomes L_kk (and its inverse is kept in VMEM
+    scratch across the sequential grid), every other block becomes
+    A_ik·inv(L_kk)^T on the MXU. One kernel launch replaces the reference's
+    1 POTRF + (m/nb − 1) TRSM tasks for the panel."""
+    m, nb = panel.shape
+    if m % nb:
+        raise ValueError(f"panel rows {m} must be a multiple of nb={nb}")
+    interpret = _interpret() if interpret is None else interpret
+    nblk = m // nb
+    return pl.pallas_call(
+        _panel_kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct(panel.shape, panel.dtype),
+        in_specs=[
+            pl.BlockSpec((nb, nb), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((nb, nb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nb, nb), panel.dtype)],
+        interpret=interpret,
+    )(panel)
+
+
+# ---------------------------------------------------------------------------
+# Trailing update over lower-triangle tile pairs only
+# ---------------------------------------------------------------------------
+
+
+def _trailing_kernel(i_ref, j_ref, c_ref, pi_ref, pj_ref, out_ref):
+    del i_ref, j_ref  # consumed by the index maps
+    out_ref[:] = c_ref[:] - jnp.dot(
+        pi_ref[:], pj_ref[:].T, preferred_element_type=_pet(c_ref.dtype), precision=matmul_precision()
+    ).astype(c_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _lower_pairs(nt: int) -> tuple[np.ndarray, np.ndarray]:
+    pairs = [(i, j) for j in range(nt) for i in range(j, nt)]
+    arr = np.asarray(pairs, dtype=np.int32)
+    return arr[:, 0], arr[:, 1]
+
+
+def trailing_update_lower(
+    c: jax.Array, p: jax.Array, *, tb: int = 256, interpret: bool | None = None
+) -> jax.Array:
+    """C[lower tiles] ← C − P·P^T, visiting only tile pairs (i ≥ j) of the
+    tb×tb tile grid — the per-panel trailing SYRK/GEMM wave as one kernel,
+    spending no MXU cycles on the upper triangle. Upper-triangle tiles of C
+    pass through unchanged (input/output aliased)."""
+    m, m2 = c.shape
+    if m != m2:
+        raise ValueError("c must be square")
+    if m % tb:
+        raise ValueError(f"trailing size {m} must be a multiple of tb={tb}")
+    if p.shape[0] != m:
+        raise ValueError("panel rows must match c")
+    interpret = _interpret() if interpret is None else interpret
+    nt = m // tb
+    i_host, j_host = _lower_pairs(nt)
+    npairs = len(i_host)
+    nb = p.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(npairs,),
+        in_specs=[
+            pl.BlockSpec((tb, tb), lambda g, i, j: (i[g], j[g])),
+            pl.BlockSpec((tb, nb), lambda g, i, j: (i[g], 0)),
+            pl.BlockSpec((tb, nb), lambda g, i, j: (j[g], 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, tb), lambda g, i, j: (i[g], j[g])),
+    )
+    flops = 2 * npairs * tb * tb * nb
+    return pl.pallas_call(
+        _trailing_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(c.shape, c.dtype),
+        input_output_aliases={2: 0},  # c (after the 2 scalar-prefetch args)
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(c.size * 8 + p.size * 4), transcendentals=0
+        ),
+        interpret=interpret,
+    )(jnp.asarray(i_host), jnp.asarray(j_host), c, p, p)

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from dla_tpu.utils.precision import matmul_precision
+
 
 def _op(a: jax.Array, trans: bool) -> jax.Array:
     return jnp.swapaxes(a, -1, -2) if trans else a
@@ -34,7 +36,12 @@ def _acc_dtype(dtype):
 def gemm(alpha, a, b, beta, c, *, transa: bool = False, transb: bool = False):
     """C ← alpha·op(A)·op(B) + beta·C. Batched over leading dims."""
     acc = _acc_dtype(c.dtype)
-    prod = jnp.matmul(_op(a, transa), _op(b, transb), preferred_element_type=acc)
+    prod = jnp.matmul(
+        _op(a, transa),
+        _op(b, transb),
+        preferred_element_type=acc,
+        precision=matmul_precision(),
+    )
     return (jnp.asarray(alpha, acc) * prod + jnp.asarray(beta, acc) * c.astype(acc)).astype(c.dtype)
 
 
@@ -44,7 +51,12 @@ def syrk(alpha, a, beta, c, *, uplo: str = "L", trans: bool = False):
     through from C unchanged, matching BLAS dsyrk semantics)."""
     acc = _acc_dtype(c.dtype)
     opa = _op(a, trans)
-    prod = jnp.matmul(opa, jnp.swapaxes(opa, -1, -2), preferred_element_type=acc)
+    prod = jnp.matmul(
+        opa,
+        jnp.swapaxes(opa, -1, -2),
+        preferred_element_type=acc,
+        precision=matmul_precision(),
+    )
     full = jnp.asarray(alpha, acc) * prod + jnp.asarray(beta, acc) * c.astype(acc)
     full = full.astype(c.dtype)
     if uplo.upper().startswith("L"):

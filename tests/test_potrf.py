@@ -118,3 +118,29 @@ class TestSolve:
         assert res < 1e-10, res
         assert l.dtype == jnp.float32
         assert x.dtype == jnp.float64
+
+
+class TestPotrfShrink:
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("n,nb", [(64, 16), (128, 32), (100, 32), (37, 16)])
+    def test_vs_lapack(self, n, nb):
+        import numpy as np
+        import jax.numpy as jnp
+        import scipy.linalg
+        from dla_tpu.algos import potrf_shrink
+
+        a = _spd(n, seed=n + 3 * nb)
+        got = np.asarray(potrf_shrink(jnp.asarray(a), nb=nb))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_matches_blocked(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from dla_tpu.algos import potrf_blocked, potrf_shrink
+
+        a = _spd(192, seed=15)
+        ls = np.asarray(potrf_shrink(jnp.asarray(a), nb=64))
+        lb = np.asarray(potrf_blocked(jnp.asarray(a), nb=64))
+        np.testing.assert_allclose(ls, lb, rtol=1e-11, atol=1e-11)
