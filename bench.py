@@ -31,11 +31,18 @@ def log(*a):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 16384))
+    n = int(os.environ.get("BENCH_N", 8192))
     nb = int(os.environ.get("BENCH_NB", 512))
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
     import jax
+
+    # Persistent compilation cache: the remote-TPU compile service is slow
+    # for large programs; cache hits make repeat bench runs start instantly.
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from dla_tpu.algos import potrf_blocked

@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--gate", type=float, default=None, help="PASS threshold (default: dtype-aware)"
     )
+    ap.add_argument(
+        "--solve",
+        choices=["none", "potrs", "refined"],
+        default="none",
+        help="also solve A·X=B: plain POTRS, or mixed-precision iterative "
+        "refinement (fp32 factor + fp64 residual — north-star config 3)",
+    )
+    ap.add_argument("--nrhs", type=int, default=1, help="right-hand sides for --solve")
     return ap
 
 
@@ -182,6 +190,27 @@ def main(argv=None) -> int:
             print(f"PASS (residual < {gate:g})")
         else:
             print(f"FAIL (residual >= {gate:g})")
+            rc = 1
+
+    if args.solve != "none":
+        from dla_tpu.algos import posv_refined, potrs
+        from dla_tpu.validate import residual_posv
+
+        b = jnp.ones((cfg.n, args.nrhs), l.dtype)
+        if args.solve == "refined":
+            _, x, _ = posv_refined(a, b, nb=cfg.nb, factor_dtype=jnp.float32)
+            sgate = 1e-10 if jax.config.jax_enable_x64 else cfg.n * 2e-7
+        else:
+            x = potrs(l, b)
+            sgate = args.gate if args.gate is not None else (
+                1e-10 if jnp.dtype(cfg.dtype) == jnp.float64 else cfg.n * 2e-6
+            )
+        sres = float(residual_posv(a, b.astype(x.dtype), x))
+        print(f"||B - A X||_inf / (||A||_inf ||X||_inf) = {sres:.2e}")
+        if sres < sgate and np.isfinite(sres):
+            print(f"SOLVE PASS (residual < {sgate:g})")
+        else:
+            print(f"SOLVE FAIL (residual >= {sgate:g})")
             rc = 1
     return rc
 
