@@ -115,10 +115,62 @@ def _potrf_local(x, layout: BlockCyclicLayout):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "mesh"))
-def _potrf_jit(x, layout: BlockCyclicLayout, mesh: Mesh):
+def _potrf_local_fori(x, layout: BlockCyclicLayout):
+    """fori_loop variant: program size O(1) in the tile count.
+
+    Every index is traced (dynamic slices), masks replace the static
+    shrinking windows, and the trailing update runs at full local size each
+    step (extra masked flops — the unrolled variant is leaner; this one is
+    for large tile counts where trace-time unrolling would blow up compile
+    time)."""
+    nb, p, q, ltr, ltc = layout.nb, layout.p, layout.q, layout.ltr, layout.ltc
+    nt = layout.ntiles
+    r = lax.axis_index("r")
+    c = lax.axis_index("c")
+    dtype = x.dtype
+    zero = jnp.zeros((), dtype)
+    gtrow = (jnp.arange(ltr * nb) // nb) * p + r
+    gtcol = (jnp.arange(ltc * nb) // nb) * q + c
+    j_elem = jnp.arange(ltc * nb)
+
+    def body(k, x):
+        kr, kc = k % p, k % q
+        lik, ljk = k // p, k // q
+        dblk = lax.dynamic_slice(x, (lik * nb, ljk * nb), (nb, nb))
+        own_diag = (r == kr) & (c == kc)
+        diag = lax.psum(jnp.where(own_diag, dblk, zero), ("r", "c"))
+        lkk = jnp.tril(lax.linalg.cholesky(diag, symmetrize_input=False))
+
+        col = lax.dynamic_slice(x, (jnp.zeros_like(k), ljk * nb), (ltr * nb, nb))
+        solved = lax.linalg.triangular_solve(
+            lkk, col, left_side=False, lower=True, transpose_a=True
+        )
+        below = (gtrow > k)[:, None]
+        in_kc = c == kc
+        newcol = jnp.where(below & in_kc, solved, col)
+        x = lax.dynamic_update_slice(x, newcol, (jnp.zeros_like(k), ljk * nb))
+        cur = lax.dynamic_slice(x, (lik * nb, ljk * nb), (nb, nb))
+        x = lax.dynamic_update_slice(
+            x, jnp.where(own_diag, lkk, cur), (lik * nb, ljk * nb)
+        )
+
+        panel_rows = lax.psum(jnp.where(below & in_kc, newcol, zero), "c")
+        panel_full = lax.all_gather(panel_rows, "r")  # (p, ltr*nb, nb)
+        a_op = jnp.where(below, panel_rows, zero)
+        jtile = (j_elem // nb) * q + c
+        b_op = panel_full[jtile % p, (jtile // p) * nb + j_elem % nb, :]
+        b_op = jnp.where((gtcol > k)[:, None], b_op, zero)
+        upd = jnp.matmul(a_op, b_op.T, preferred_element_type=_acc(dtype))
+        return x - upd.astype(dtype)
+
+    return lax.fori_loop(0, nt, body, x)
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "mesh", "unroll"))
+def _potrf_jit(x, layout: BlockCyclicLayout, mesh: Mesh, unroll: bool):
+    local = _potrf_local if unroll else _potrf_local_fori
     f = jax.shard_map(
-        functools.partial(_potrf_local, layout=layout),
+        functools.partial(local, layout=layout),
         mesh=mesh,
         in_specs=layout.spec(),
         out_specs=layout.spec(),
@@ -127,8 +179,21 @@ def _potrf_jit(x, layout: BlockCyclicLayout, mesh: Mesh):
     return f(x)
 
 
-def potrf_block_cyclic(x: jax.Array, layout: BlockCyclicLayout, mesh: Mesh) -> jax.Array:
+def potrf_block_cyclic(
+    x: jax.Array,
+    layout: BlockCyclicLayout,
+    mesh: Mesh,
+    *,
+    unroll: bool | None = None,
+) -> jax.Array:
     """Distributed POTRF of a cyclic-permuted sharded matrix (see
     ``block_cyclic.from_dense``). Returns the factor in the same layout;
-    only lower-triangle tiles are meaningful."""
-    return _potrf_jit(x, layout, mesh)
+    only lower-triangle tiles are meaningful.
+
+    ``unroll=None`` picks the trace-time-unrolled program (true flop count,
+    static shrinking windows) for ≤64 tile steps and the O(1)-size
+    ``fori_loop`` program beyond that.
+    """
+    if unroll is None:
+        unroll = layout.ntiles <= 64
+    return _potrf_jit(x, layout, mesh, unroll)

@@ -100,3 +100,28 @@ class TestDistributedPotrf:
         got = np.tril(to_dense(lx, lay))
         ref = np.asarray(potrf_blocked(jnp.asarray(a), nb=nb))
         np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11)
+
+
+class TestDistributedPotrfFori:
+    @pytest.mark.parametrize("p,q", [(2, 2), (2, 4), (1, 8)])
+    def test_fori_matches_unrolled(self, p, q):
+        n, nb = 128, 16
+        lay = BlockCyclicLayout(n=n, nb=nb, p=p, q=q)
+        mesh = make_mesh(p, q)
+        a = _spd(n, seed=p + 5 * q)
+        x = from_dense(np.tril(a), lay, mesh)
+        lu = np.tril(to_dense(potrf_block_cyclic(x, lay, mesh, unroll=True), lay))
+        lf = np.tril(to_dense(potrf_block_cyclic(x, lay, mesh, unroll=False), lay))
+        np.testing.assert_allclose(lf, lu, rtol=1e-11, atol=1e-11)
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(lf, ref, rtol=1e-9, atol=1e-9)
+
+    def test_auto_threshold_picks_fori_for_many_tiles(self):
+        n, nb = 160, 2  # 80 tile steps > 64 -> auto picks the fori path
+        lay = BlockCyclicLayout(n=n, nb=nb, p=2, q=2)
+        mesh = make_mesh(2, 2)
+        a = _spd(n, seed=99)
+        x = from_dense(np.tril(a), lay, mesh)
+        lx = np.tril(to_dense(potrf_block_cyclic(x, lay, mesh), lay))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(lx, ref, rtol=1e-8, atol=1e-8)
