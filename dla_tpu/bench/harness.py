@@ -81,6 +81,8 @@ class SweepConfig:
     platform: str | None = None
     gen: str = "plgsy"
     timeout_s: float = 900.0
+    max_retries: int = 3  # per-run retry budget (ArmoniK TaskOptions parity,
+    # client_distrib.cpp:335-337); a crashed/timed-out child is re-executed
 
     @classmethod
     def from_json(cls, path: str) -> "SweepConfig":
@@ -220,19 +222,23 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
     if env:
         run_env.update(env)
     t0 = time.perf_counter()
-    try:
-        proc = subprocess.run(
-            cmd,
-            capture_output=True,
-            text=True,
-            timeout=cfg.timeout_s,
-            env=run_env,
-        )
-        exit_code = proc.returncode
-        out = proc.stdout
-    except subprocess.TimeoutExpired as e:
-        exit_code = 124
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+    exit_code, out = 1, ""
+    for attempt in range(max(1, cfg.max_retries)):
+        try:
+            proc = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                timeout=cfg.timeout_s,
+                env=run_env,
+            )
+            exit_code = proc.returncode
+            out = proc.stdout
+        except subprocess.TimeoutExpired as e:
+            exit_code = 124
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        if exit_code == 0:
+            break
     wall_ms = (time.perf_counter() - t0) * 1e3
     gf, res, ms = parse_metrics(out)
     return {
