@@ -6,3 +6,4 @@ from dla_tpu.parallel.block_cyclic import (  # noqa: F401
     to_dense,
 )
 from dla_tpu.parallel.potrf_dist import potrf_block_cyclic  # noqa: F401
+from dla_tpu.parallel.solve_dist import potrs_block_cyclic  # noqa: F401

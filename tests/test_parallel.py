@@ -125,3 +125,37 @@ class TestDistributedPotrfFori:
         lx = np.tril(to_dense(potrf_block_cyclic(x, lay, mesh), lay))
         ref = scipy.linalg.cholesky(a, lower=True)
         np.testing.assert_allclose(lx, ref, rtol=1e-8, atol=1e-8)
+
+
+class TestDistributedSolve:
+    @pytest.mark.parametrize("p,q", [(1, 1), (2, 2), (2, 4), (4, 2)])
+    def test_potrs_block_cyclic(self, p, q):
+        from dla_tpu.parallel import potrs_block_cyclic
+
+        n, nb, nrhs = 128, 16, 3
+        lay = BlockCyclicLayout(n=n, nb=nb, p=p, q=q)
+        mesh = make_mesh(p, q)
+        a = _spd(n, seed=40 + p * q)
+        b = np.random.default_rng(41).standard_normal((n, nrhs))
+        x = from_dense(np.tril(a), lay, mesh)
+        lx = potrf_block_cyclic(x, lay, mesh)
+        got = np.asarray(potrs_block_cyclic(lx, jnp.asarray(b), lay, mesh))
+        ref = np.linalg.solve(a, b)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+    def test_full_distributed_posv_residual(self):
+        """generate -> factor -> solve, all distributed, solve residual at
+        fp64 grade."""
+        from dla_tpu.parallel import potrs_block_cyclic
+        from dla_tpu.validate import residual_posv
+
+        p, q, n, nb = 2, 4, 256, 32
+        lay = BlockCyclicLayout(n=n, nb=nb, p=p, q=q)
+        mesh = make_mesh(p, q)
+        xa = generate_spd_block_cyclic(lay, mesh, seed=51, dtype=jnp.float64)
+        lx = potrf_block_cyclic(xa, lay, mesh)
+        b = jnp.asarray(np.random.default_rng(5).standard_normal((n, 2)))
+        x = potrs_block_cyclic(lx, b, lay, mesh)
+        a = jnp.asarray(to_dense(xa, lay))
+        res = float(residual_posv(a, b, x, assume_symmetric=True))
+        assert res < 1e-13, res
