@@ -144,3 +144,34 @@ class TestPotrfShrink:
         ls = np.asarray(potrf_shrink(jnp.asarray(a), nb=64))
         lb = np.asarray(potrf_blocked(jnp.asarray(a), nb=64))
         np.testing.assert_allclose(ls, lb, rtol=1e-11, atol=1e-11)
+
+
+class TestEdgeCases:
+    @pytest.mark.parametrize("n,nb", [(1, 1), (1, 64), (16, 64), (64, 64), (65, 64)])
+    def test_small_and_single_tile(self, n, nb):
+        rng = np.random.default_rng(n * 7 + nb)
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + (n + 2) * np.eye(n)  # +2: PD even at n=1
+        got = np.asarray(potrf_blocked(jnp.asarray(a), nb=nb))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+    def test_seed_sweep_invariants(self, seed):
+        """Property sweep: every factor satisfies the worker-v2 invariants
+        and the residual gate (SURVEY §4.4)."""
+        n = 96 + 16 * (seed % 3)
+        a = jnp.asarray(_spd(n, seed=seed))
+        l = potrf_blocked(a, nb=32)
+        inv = cholesky_invariants(l)
+        assert int(inv.nan_count) == 0 and int(inv.inf_count) == 0
+        assert float(inv.diag_min) > 0
+        assert float(inv.upper_maxabs) == 0.0
+        assert float(residual_potrf(a, l)) < PASS_THRESHOLD
+
+    def test_fp32_residual_scales_with_n(self):
+        for n in (128, 512):
+            a = plgsy(n, seed=51, dtype=jnp.float32)
+            l = potrf_blocked(a, nb=64)
+            res = float(residual_potrf(a, l))
+            assert res < n * 2e-7, (n, res)
