@@ -104,6 +104,12 @@ def potrf_outofcore(
     import jax
     import jax.numpy as jnp
 
+    if store.dtype == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "store is float64 but jax_enable_x64 is off — panels would be "
+            "silently downcast to float32 on device; enable x64 first"
+        )
+
     n = store.n
     if n % panel:
         raise ValueError(f"n={n} must be a multiple of panel={panel}")

@@ -1,0 +1,92 @@
+"""Out-of-core POTRF driver — the N ≫ HBM configuration as a CLI.
+
+The scale regime the reference served with its distributed blob store
+(client holds the full matrix, workers hold O(B²) — SURVEY §5.7); here the
+matrix lives in host DRAM (or a disk memmap) and column panels stream
+through the device. Resume-able: re-running with the same ``--matrix`` and
+``--progress`` paths picks up at the first unfinished panel.
+
+Usage:
+    python -m dla_tpu.cli.oocore_driver --n 32768 --panel 4096 --nb 512
+    python -m dla_tpu.cli.oocore_driver --n 262144 --panel 8192 \
+        --matrix /scratch/a.bin --progress /scratch/a.progress.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dla-oocore")
+    ap.add_argument("--n", type=int, required=True)
+    ap.add_argument("--panel", type=int, default=4096)
+    ap.add_argument("--nb", type=int, default=512)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--seed", type=int, default=51)
+    ap.add_argument("--matrix", default=None, help="disk-backed store path (RAM if omitted)")
+    ap.add_argument("--progress", default=None, help="resume sidecar JSON path")
+    ap.add_argument("--probes", type=int, default=2, help="Freivalds validation probes (0 = skip)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from dla_tpu.algos.oocore import potrf_outofcore
+    from dla_tpu.runtime.staging import HostTileStore
+    from dla_tpu.utils.flops import gflops, potrf_flops
+
+    dtype = np.float32 if args.dtype == "float32" else np.float64
+    n = args.n
+    print(
+        f"[oocore] N={n} panel={args.panel} NB={args.nb} dtype={args.dtype} "
+        f"store={'disk:' + args.matrix if args.matrix else 'ram'} "
+        f"({n * n * np.dtype(dtype).itemsize / 2**30:.1f} GiB)",
+        flush=True,
+    )
+    store = HostTileStore(n, dtype, path=args.matrix)
+    orig = None
+    fresh = args.progress is None or not __import__("os").path.exists(args.progress)
+    if fresh:
+        print("[oocore] generating SPD matrix (native, seeded)...", flush=True)
+        store.fill_plgsy(seed=args.seed)
+    if args.probes and fresh:
+        orig = HostTileStore(n, dtype)
+        orig.array[:] = np.tril(store.array)
+
+    t0 = time.perf_counter()
+    potrf_outofcore(
+        store,
+        panel=args.panel,
+        nb=args.nb,
+        progress_path=args.progress,
+        on_panel=lambda j, np_: print(
+            f"[oocore] panel {j + 1}/{np_} done @ {time.perf_counter() - t0:.1f}s",
+            flush=True,
+        ),
+    )
+    t1 = time.perf_counter()
+    print(f"Elapsed: {(t1 - t0) * 1e3:.1f} ms")
+    print(f"Performance: {gflops(potrf_flops(n), t1 - t0):.2f} Gflop/s")
+
+    rc = 0
+    if orig is not None:
+        res = orig.freivalds_residual(store, probes=args.probes)
+        print(f"freivalds ||(A - LL^T)x|| / (||A|| ||x||) = {res:.2e}")
+        gate = 1e-10 if dtype == np.float64 else n * 2e-7
+        ok = np.isfinite(res) and res < gate
+        print("PASS" if ok else "FAIL", f"(gate {gate:g})")
+        rc = 0 if ok else 1
+        orig.close()
+    store.close()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -175,3 +175,27 @@ class TestEdgeCases:
             l = potrf_blocked(a, nb=64)
             res = float(residual_potrf(a, l))
             assert res < n * 2e-7, (n, res)
+
+
+class TestPotriBatched:
+    def test_potri_matches_inverse(self):
+        from dla_tpu.algos.potri import potri
+
+        n = 96
+        a = _spd(n, seed=60)
+        l = potrf_blocked(jnp.asarray(a), nb=32)
+        got = np.asarray(potri(l))
+        ref = np.linalg.inv(a)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
+
+    def test_potrf_batched(self):
+        from dla_tpu.algos.potri import potrf_batched
+
+        rng = np.random.default_rng(61)
+        batch, n = 5, 48
+        gs = rng.standard_normal((batch, n, n))
+        a = (gs + gs.transpose(0, 2, 1)) / 2 + n * np.eye(n)
+        ls = np.asarray(potrf_batched(jnp.asarray(a), nb=16))
+        for i in range(batch):
+            ref = scipy.linalg.cholesky(a[i], lower=True)
+            np.testing.assert_allclose(ls[i], ref, rtol=1e-9, atol=1e-9)
