@@ -31,8 +31,8 @@ def log(*a):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 8192))
-    nb = int(os.environ.get("BENCH_NB", 512))
+    n = int(os.environ.get("BENCH_N", 16384))
+    nb = int(os.environ.get("BENCH_NB", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
     import jax
@@ -45,7 +45,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from dla_tpu.algos import potrf_blocked
+    from dla_tpu.algos import potrf_shrink
     from dla_tpu.ops import plgsy
     from dla_tpu.validate import residual_potrf
 
@@ -60,7 +60,7 @@ def main():
         # is O(N²) elementwise — noise next to the O(N³/3) factorization.
         a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
         a = a + s * jnp.eye(n, dtype=dtype)
-        return potrf_blocked(a, nb=nb)
+        return potrf_shrink(a, nb=nb)
 
     fn = jax.jit(step)
 

@@ -164,7 +164,8 @@ def potrf_masked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "update_cols", "diag_factor")
+    jax.jit,
+    static_argnames=("nb", "update_cols", "diag_factor", "panel", "trailing", "tb"),
 )
 def potrf_shrink(
     a: jax.Array,
@@ -172,6 +173,9 @@ def potrf_shrink(
     nb: int = 512,
     update_cols: int | None = None,
     diag_factor: DiagFactor = "lax",
+    panel: Literal["xla", "pallas"] = "xla",
+    trailing: Literal["xla", "pallas"] = "xla",
+    tb: int | None = None,
 ) -> jax.Array:
     """Right-looking Cholesky on a *shrinking* trailing matrix — the
     compile-friendliest formulation.
@@ -188,25 +192,45 @@ def potrf_shrink(
     """
     n = a.shape[-1]
     del update_cols  # accepted for interface parity; shrink updates square
+    if (panel == "pallas" or trailing == "pallas") and n % nb:
+        raise ValueError(f"pallas paths require n % nb == 0, got {n} % {nb}")
     t = jnp.tril(a)
-    t = t + jnp.tril(t, -1).swapaxes(-1, -2)  # symmetric trailing invariant
+    if trailing != "pallas":
+        # the full-square XLA trailing GEMM needs a symmetric trailing block;
+        # the pallas path updates only the lower trapezoid and never reads
+        # the upper triangle, so plain tril suffices there.
+        t = t + jnp.tril(t, -1).swapaxes(-1, -2)
     strips = []
     for off in range(0, n, nb):
         m = n - off
         w = min(nb, m)
-        lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
-        if m > w:
-            lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True)
-            strip = jnp.concatenate([lkk, lp], axis=0)  # (m, w)
-            t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
+        if panel == "pallas":
+            from dla_tpu.kernels.pallas_tiles import panel_factor
+
+            newp = panel_factor(t[:, :w])  # fused diag factor + all solves
+            lkk, lp = newp[:w], newp[w:]
+            strip = newp
         else:
-            strip = lkk
+            lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+            if m > w:
+                lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True)
+                strip = jnp.concatenate([lkk, lp], axis=0)  # (m, w)
+            else:
+                lp = None
+                strip = lkk
+        if m > w:
+            if trailing == "pallas":
+                from dla_tpu.kernels.pallas_tiles import trailing_update_lower
+
+                t = trailing_update_lower(t[w:, w:], lp, tb=tb or min(nb, 512))
+            else:
+                t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
         if off:
             strip = jnp.concatenate(
                 [jnp.zeros((off, w), a.dtype), strip], axis=0
             )
         strips.append(strip)
-    return jnp.concatenate(strips, axis=1)
+    return jnp.tril(jnp.concatenate(strips, axis=1))
 
 
 def potrf(

@@ -130,3 +130,44 @@ class TestPotrfPallasBackends:
 
         with pytest.raises(ValueError):
             potrf_blocked(jnp.zeros((100, 100)), nb=32, panel="pallas")
+
+
+class TestPotrfShrinkPallas:
+    @pytest.mark.parametrize(
+        "panel,trailing", [("pallas", "xla"), ("xla", "pallas"), ("pallas", "pallas")]
+    )
+    def test_matches_lapack(self, panel, trailing):
+        from dla_tpu.algos import potrf_shrink
+
+        n, nb = 128, 32
+        a = _spd(n, seed=21)
+        got = np.asarray(
+            potrf_shrink(jnp.asarray(a), nb=nb, panel=panel, trailing=trailing)
+        )
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+    def test_lower_only_reads_with_nan_upper(self):
+        """The fully-pallas path must never read the upper triangle: seed it
+        with NaNs and demand a clean factor."""
+        from dla_tpu.algos import potrf_shrink
+
+        n, nb = 128, 32
+        a = _spd(n, seed=22)
+        dirty = np.tril(a) + np.triu(np.full((n, n), np.nan), 1)
+        got = np.asarray(
+            potrf_shrink(jnp.asarray(dirty), nb=nb, panel="pallas", trailing="pallas")
+        )
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+    def test_tb_divisor(self):
+        from dla_tpu.algos import potrf_shrink
+
+        n, nb = 128, 64
+        a = _spd(n, seed=23)
+        got = np.asarray(
+            potrf_shrink(jnp.asarray(a), nb=nb, panel="pallas", trailing="pallas", tb=32)
+        )
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
