@@ -34,6 +34,8 @@ def main():
     n = int(os.environ.get("BENCH_N", 16384))
     nb = int(os.environ.get("BENCH_NB", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 3))
+    panel = os.environ.get("BENCH_PANEL", "xla")
+    trailing = os.environ.get("BENCH_TRAILING", "pallas")
 
     import jax
 
@@ -50,7 +52,7 @@ def main():
     from dla_tpu.validate import residual_potrf
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    log(f"N={n} NB={nb} dtype=float32 iters={iters}")
+    log(f"N={n} NB={nb} dtype=float32 iters={iters} panel={panel} trailing={trailing}")
 
     dtype = jnp.float32
 
@@ -60,7 +62,7 @@ def main():
         # is O(N²) elementwise — noise next to the O(N³/3) factorization.
         a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
         a = a + s * jnp.eye(n, dtype=dtype)
-        return potrf_shrink(a, nb=nb)
+        return potrf_shrink(a, nb=nb, panel=panel, trailing=trailing)
 
     fn = jax.jit(step)
 

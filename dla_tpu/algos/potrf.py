@@ -42,6 +42,21 @@ from dla_tpu.ops import gemm, potrf_unblocked, trsm
 DiagFactor = Literal["lax", "unblocked"]
 
 
+def _auto_tb(nb: int, dtype, budget_bytes: int = 10 * 2**20) -> int:
+    """Largest trailing-update tile tb ∈ {512, 256, 128} dividing nb whose
+    double-buffered VMEM footprint (C tb×tb in+out, two tb×nb panel blocks)
+    fits the budget. v5e VMEM is 16 MiB and XLA's true accounting runs ~1.6×
+    this model (measured: model 12.6 MB → actual 20.2 MB), so the budget
+    leaves that headroom."""
+    item = jnp.dtype(dtype).itemsize
+    for cand in (512, 256, 128):
+        if nb % cand == 0 or cand % nb == 0:
+            t = min(cand, nb)
+            if 2 * t * (2 * t + 2 * nb) * item <= budget_bytes:
+                return t
+    return min(nb, 128)
+
+
 def _chol_tile(d: jax.Array, diag_factor: DiagFactor) -> jax.Array:
     if diag_factor == "unblocked":
         return potrf_unblocked(d)
@@ -222,7 +237,9 @@ def potrf_shrink(
             if trailing == "pallas":
                 from dla_tpu.kernels.pallas_tiles import trailing_update_lower
 
-                t = trailing_update_lower(t[w:, w:], lp, tb=tb or min(nb, 512))
+                t = trailing_update_lower(
+                    t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype)
+                )
             else:
                 t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
         if off:

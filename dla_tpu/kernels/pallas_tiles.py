@@ -248,6 +248,12 @@ def panel_factor(panel: jax.Array, *, interpret: bool | None = None) -> jax.Arra
     m, nb = panel.shape
     if m % nb:
         raise ValueError(f"panel rows {m} must be a multiple of nb={nb}")
+    item = jnp.dtype(panel.dtype).itemsize
+    if 2 * 3 * nb * nb * item > 14 * 2**20:  # in+out+scratch, double-buffered
+        raise ValueError(
+            f"panel_factor nb={nb} exceeds the VMEM budget (three nb×nb "
+            f"buffers, pipelined); use nb ≤ 512 for float32"
+        )
     interpret = _interpret() if interpret is None else interpret
     nblk = m // nb
     return pl.pallas_call(
