@@ -49,10 +49,11 @@ def _auto_tb(nb: int, dtype, budget_bytes: int = 10 * 2**20) -> int:
     this model (measured: model 12.6 MB → actual 20.2 MB), so the budget
     leaves that headroom."""
     item = jnp.dtype(dtype).itemsize
+    kb = min(nb, 512)  # the kernel k-splits wide panels at 512
     for cand in (512, 256, 128):
         if nb % cand == 0 or cand % nb == 0:
             t = min(cand, nb)
-            if 2 * t * (2 * t + 2 * nb) * item <= budget_bytes:
+            if 2 * t * (2 * t + 2 * kb) * item <= budget_bytes:
                 return t
     return min(nb, 128)
 

@@ -276,9 +276,23 @@ def panel_factor(panel: jax.Array, *, interpret: bool | None = None) -> jax.Arra
 
 def _trailing_kernel(i_ref, j_ref, c_ref, pi_ref, pj_ref, out_ref):
     del i_ref, j_ref  # consumed by the index maps
-    out_ref[:] = c_ref[:] - jnp.dot(
-        pi_ref[:], pj_ref[:].T, preferred_element_type=_pet(c_ref.dtype), precision=matmul_precision()
+    ks = pl.program_id(1)
+    upd = jnp.dot(
+        pi_ref[:],
+        pj_ref[:].T,
+        preferred_element_type=_pet(c_ref.dtype),
+        precision=matmul_precision(),
     ).astype(c_ref.dtype)
+
+    @pl.when(ks == 0)
+    def _():
+        out_ref[:] = c_ref[:] - upd
+
+    @pl.when(ks > 0)
+    def _():
+        # k-minor grid order revisits the same C block consecutively, so the
+        # VMEM output buffer accumulates across the k-split steps
+        out_ref[:] = out_ref[:] - upd
 
 
 @functools.lru_cache(maxsize=None)
@@ -289,12 +303,22 @@ def _lower_pairs(nt: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def trailing_update_lower(
-    c: jax.Array, p: jax.Array, *, tb: int = 256, interpret: bool | None = None
+    c: jax.Array,
+    p: jax.Array,
+    *,
+    tb: int = 256,
+    kb: int | None = None,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """C[lower tiles] ← C − P·P^T, visiting only tile pairs (i ≥ j) of the
     tb×tb tile grid — the per-panel trailing SYRK/GEMM wave as one kernel,
     spending no MXU cycles on the upper triangle. Upper-triangle tiles of C
-    pass through unchanged (input/output aliased)."""
+    pass through unchanged (input/output aliased).
+
+    ``kb`` splits the panel's contraction dimension so wide panels fit VMEM
+    with large tb (the C block is revisited across consecutive k-steps and
+    accumulates in VMEM — standard matmul k-split).
+    """
     m, m2 = c.shape
     if m != m2:
         raise ValueError("c must be square")
@@ -307,16 +331,21 @@ def trailing_update_lower(
     i_host, j_host = _lower_pairs(nt)
     npairs = len(i_host)
     nb = p.shape[1]
+    if kb is None:
+        kb = min(nb, 512)
+    if nb % kb:
+        raise ValueError(f"panel width {nb} must be a multiple of kb={kb}")
+    nk = nb // kb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(npairs,),
+        grid=(npairs, nk),
         in_specs=[
-            pl.BlockSpec((tb, tb), lambda g, i, j: (i[g], j[g])),
-            pl.BlockSpec((tb, nb), lambda g, i, j: (i[g], 0)),
-            pl.BlockSpec((tb, nb), lambda g, i, j: (j[g], 0)),
+            pl.BlockSpec((tb, tb), lambda g, k, i, j: (i[g], j[g])),
+            pl.BlockSpec((tb, kb), lambda g, k, i, j: (i[g], k)),
+            pl.BlockSpec((tb, kb), lambda g, k, i, j: (j[g], k)),
         ],
-        out_specs=pl.BlockSpec((tb, tb), lambda g, i, j: (i[g], j[g])),
+        out_specs=pl.BlockSpec((tb, tb), lambda g, k, i, j: (i[g], j[g])),
     )
     flops = 2 * npairs * tb * tb * nb
     return pl.pallas_call(

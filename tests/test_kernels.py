@@ -171,3 +171,27 @@ class TestPotrfShrinkPallas:
         )
         ref = scipy.linalg.cholesky(a, lower=True)
         np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+
+class TestTrailingKSplit:
+    def test_ksplit_matches_full(self):
+        rng = np.random.default_rng(8)
+        m, tb, nb, kb = 96, 32, 64, 16  # nk = 4 k-steps
+        c = rng.standard_normal((m, m))
+        p = rng.standard_normal((m, nb))
+        got = np.asarray(
+            trailing_update_lower(jnp.asarray(c), jnp.asarray(p), tb=tb, kb=kb)
+        )
+        full = c - p @ p.T
+        nt = m // tb
+        for i in range(nt):
+            for j in range(nt):
+                blk = np.s_[i * tb : (i + 1) * tb, j * tb : (j + 1) * tb]
+                if i >= j:
+                    np.testing.assert_allclose(got[blk], full[blk], rtol=1e-10, atol=1e-12)
+                else:
+                    np.testing.assert_array_equal(got[blk], c[blk])
+
+    def test_kb_must_divide(self):
+        with pytest.raises(ValueError):
+            trailing_update_lower(jnp.zeros((64, 64)), jnp.zeros((64, 48)), tb=32, kb=32)
