@@ -32,7 +32,7 @@ def log(*a):
 
 def main():
     n = int(os.environ.get("BENCH_N", 16384))
-    nb = int(os.environ.get("BENCH_NB", 1024))
+    nb = int(os.environ.get("BENCH_NB", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 3))
     panel = os.environ.get("BENCH_PANEL", "xla")
     trailing = os.environ.get("BENCH_TRAILING", "pallas")

@@ -80,6 +80,8 @@ class SweepConfig:
     repeats: int = 8  # repeat 0 = warm-up/compile (calibration analogue)
     platform: str | None = None
     gen: str = "plgsy"
+    panel: str = "xla"
+    trailing: str = "xla"
     timeout_s: float = 900.0
     max_retries: int = 3  # per-run retry budget (ArmoniK TaskOptions parity,
     # client_distrib.cpp:335-337); a crashed/timed-out child is re-executed
@@ -107,7 +109,7 @@ def parse_metrics(stdout: str) -> tuple[float | None, float | None, float | None
     )
 
 
-def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform) -> list[str]:
+def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="xla") -> list[str]:
     cmd = [
         sys.executable,
         "-m",
@@ -123,6 +125,8 @@ def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform) -> list[str]:
         "--gen",
         gen,
     ]
+    if mode in ("blocked", "shrink"):
+        cmd += ["--panel", panel, "--trailing", trailing]
     if mode == "distributed":
         cmd += ["--p", str(mesh[0]), "--q", str(mesh[1])]
     if platform:
@@ -212,7 +216,9 @@ def run_sweep(
 
 
 def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
-    cmd = _driver_cmd(n, nb, dtype, mode, mesh, cfg.gen, cfg.platform)
+    cmd = _driver_cmd(
+        n, nb, dtype, mode, mesh, cfg.gen, cfg.platform, cfg.panel, cfg.trailing
+    )
     run_env = dict(os.environ)
     if cfg.platform == "cpu":
         # CPU-only child: skip the axon TPU plugin registration entirely

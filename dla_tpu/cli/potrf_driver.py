@@ -52,8 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--q", type=int, default=None, help="mesh cols (distributed)")
     ap.add_argument(
         "--mode",
-        choices=["blocked", "masked", "distributed"],
+        choices=["blocked", "masked", "shrink", "distributed"],
         default=None,
+    )
+    ap.add_argument(
+        "--panel", choices=["xla", "pallas"], default="xla",
+        help="panel-factor backend (blocked/shrink modes)",
+    )
+    ap.add_argument(
+        "--trailing", choices=["xla", "pallas"], default="xla",
+        help="trailing-update backend (blocked/shrink modes)",
     )
     ap.add_argument(
         "--gen",
@@ -160,8 +168,12 @@ def main(argv=None) -> int:
     else:
         from dla_tpu.algos import potrf
 
+        kw = {}
+        if cfg.mode in ("blocked", "shrink"):
+            kw = {"panel": args.panel, "trailing": args.trailing}
+
         def run():
-            l = potrf(a, nb=cfg.nb, mode=cfg.mode)
+            l = potrf(a, nb=cfg.nb, mode=cfg.mode, **kw)
             _ = float(l[cfg.n - 1, cfg.n - 1])  # force completion (remote TPU)
             return l
 

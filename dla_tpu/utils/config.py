@@ -29,7 +29,7 @@ class RunConfig:
     seed: int = 51
     p: int = 1
     q: int = 1
-    mode: str = "blocked"  # blocked | masked | distributed
+    mode: str = "blocked"  # blocked | masked | shrink | distributed
     check: bool = True  # residual validation
     gen: str = "plgsy"  # plgsy | gershgorin
 
