@@ -56,12 +56,14 @@ def main():
 
     dtype = jnp.float32
 
+    idx = jnp.arange(n)
+
     def step(s):
         # generate + factor under one jit; the per-iteration bump
         # perturbation keeps any execution-level caching honest. Generation
         # is O(N²) elementwise — noise next to the O(N³/3) factorization.
         a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
-        a = a + s * jnp.eye(n, dtype=dtype)
+        a = a.at[idx, idx].add(s)  # diagonal perturbation, no N² temp
         return potrf_shrink(a, nb=nb, panel=panel, trailing=trailing)
 
     fn = jax.jit(step)
@@ -90,7 +92,7 @@ def main():
     @jax.jit
     def check(l, s):
         a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
-        a = a + s * jnp.eye(n, dtype=dtype)
+        a = a.at[idx, idx].add(s)
         return residual_potrf(a, l)
 
     res = float(check(l, jnp.float32(iters * 1e-3)))
