@@ -41,7 +41,6 @@ def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str):
     import jax.numpy as jnp
 
     from dla_tpu.ops import gemm, trsm
-    from dla_tpu.utils.precision import matmul_precision
 
     del dtype_str  # shapes+dtype come in via the arguments
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pandas as pd
 
 # v5e fp32-accum MXU peak per chip; override per-hardware via env.
