@@ -60,6 +60,11 @@ def parse_args(argv=None):
     ap.add_argument("--config", default=None, help="JSON config (appsettings analogue)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument(
+        "--solve", type=int, default=0, metavar="NRHS",
+        help="after factoring, solve A·X=B for NRHS right-hand sides "
+        "(distributed POTRS)",
+    )
     ap.add_argument("positional", nargs="*", help="[N [B]] positional fallback")
     return ap.parse_args(argv)
 
@@ -166,6 +171,18 @@ def main(argv=None) -> int:
     print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
     gate = 1e-10 if jnp.dtype(cfg.dtype) == jnp.float64 else max(1e-10, cfg.n * 2e-7)
     ok = np.isfinite(res) and res < gate
+
+    if args.solve:
+        from dla_tpu.parallel import potrs_block_cyclic
+        from dla_tpu.validate import residual_posv
+
+        bmat = jnp.ones((cfg.n, args.solve), dtype)
+        print(f"[CLIENT] distributed POTRS, nrhs={args.solve}...", flush=True)
+        xs = jax.block_until_ready(potrs_block_cyclic(lx, bmat, layout, mesh))
+        sres = float(residual_posv(a, bmat, xs, assume_symmetric=True))
+        print(f"||B - A X||_inf / (||A||_inf ||X||_inf) = {sres:.2e}")
+        ok = ok and np.isfinite(sres) and sres < gate
+
     print("[CLIENT] session complete:", "PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
