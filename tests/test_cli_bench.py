@@ -197,3 +197,47 @@ class TestDriverEndToEnd:
         # resume: re-running adds nothing
         rows3 = run_sweep(cfg, csv_path, echo=False)
         assert rows3 == []
+
+
+class TestPlots:
+    def test_plot_functions_produce_pngs(self, tmp_path):
+        import csv as _csv
+
+        from dla_tpu.bench.plots import plot_perf_grid, plot_residuals
+        from dla_tpu.bench.harness import CSV_COLUMNS
+
+        csv_path = str(tmp_path / "b.csv")
+        rows = []
+        for n in (64, 128):
+            for nb in (16, 32):
+                for rep in range(3):
+                    rows.append(
+                        {
+                            "timestamp": "t",
+                            "scheduler": "xla-static",
+                            "mapping": "cpu-sim",
+                            "ncpu": 0,
+                            "ngpu": 0,
+                            "N": n,
+                            "NB": nb,
+                            "run_idx": rep,
+                            "ms": 1.0,
+                            "exit_code": 0,
+                            "gflops": n * nb / 1000 + rep,
+                            "rel_error": 1e-15 * n,
+                            "device": "cpu",
+                            "mesh": "1x1",
+                            "dtype": "float64",
+                            "mode": "blocked",
+                        }
+                    )
+        with open(csv_path, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+            w.writeheader()
+            w.writerows(rows)
+        p1 = plot_perf_grid(csv_path, str(tmp_path / "grid.png"), peak_gflops=10.0)
+        p2 = plot_residuals(csv_path, str(tmp_path / "res.png"))
+        import os
+
+        assert os.path.getsize(p1) > 1000
+        assert os.path.getsize(p2) > 1000
