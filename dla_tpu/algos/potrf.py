@@ -216,16 +216,19 @@ def potrf_shrink(
         # the pallas path updates only the lower trapezoid and never reads
         # the upper triangle, so plain tril suffices there.
         t = t + jnp.tril(t, -1).swapaxes(-1, -2)
-    strips = []
+    # finished column strips land in a preallocated output (one
+    # dynamic-update-slice per panel — Nb of them is compile-cheap, unlike
+    # the per-op DUS chains of potrf_blocked) so peak memory is
+    # out + two trailing copies (~2N²) instead of strips + trailing (~3N²).
+    out = jnp.zeros((n, n), a.dtype)
     for off in range(0, n, nb):
         m = n - off
         w = min(nb, m)
         if panel == "pallas":
             from dla_tpu.kernels.pallas_tiles import panel_factor
 
-            newp = panel_factor(t[:, :w])  # fused diag factor + all solves
-            lkk, lp = newp[:w], newp[w:]
-            strip = newp
+            strip = panel_factor(t[:, :w])  # fused diag factor + all solves
+            lp = strip[w:]
         else:
             lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
             if m > w:
@@ -234,6 +237,7 @@ def potrf_shrink(
             else:
                 lp = None
                 strip = lkk
+        out = lax.dynamic_update_slice(out, strip, (off, off))
         if m > w:
             if trailing == "pallas":
                 from dla_tpu.kernels.pallas_tiles import trailing_update_lower
@@ -243,12 +247,7 @@ def potrf_shrink(
                 )
             else:
                 t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
-        if off:
-            strip = jnp.concatenate(
-                [jnp.zeros((off, w), a.dtype), strip], axis=0
-            )
-        strips.append(strip)
-    return jnp.tril(jnp.concatenate(strips, axis=1))
+    return jnp.tril(out)
 
 
 def potrf(
