@@ -115,33 +115,29 @@ def _potrf_local(x, layout: BlockCyclicLayout):
     return x
 
 
-def _potrf_local_fori(x, layout: BlockCyclicLayout):
-    """fori_loop variant: program size O(1) in the tile count.
-
-    Every index is traced (dynamic slices), masks replace the static
-    shrinking windows, and the trailing update runs at full local size each
-    step (extra masked flops — the unrolled variant is leaner; this one is
-    for large tile counts where trace-time unrolling would blow up compile
-    time)."""
-    nb, p, q, ltr, ltc = layout.nb, layout.p, layout.q, layout.ltr, layout.ltc
-    nt = layout.ntiles
+def _fori_window(sub, layout: BlockCyclicLayout, k0: int, k1: int, li0: int, lj0: int):
+    """fori_loop over panel steps k ∈ [k0, k1) operating on the static local
+    window starting at local tile (li0, lj0). All in-window indices are
+    traced (dynamic slices); per-k masking handles the boundary."""
+    nb, p, q = layout.nb, layout.p, layout.q
     r = lax.axis_index("r")
     c = lax.axis_index("c")
-    dtype = x.dtype
+    dtype = sub.dtype
     zero = jnp.zeros((), dtype)
-    gtrow = (jnp.arange(ltr * nb) // nb) * p + r
-    gtcol = (jnp.arange(ltc * nb) // nb) * q + c
-    j_elem = jnp.arange(ltc * nb)
+    wr, wc = sub.shape  # window dims (static)
+    gtrow = ((jnp.arange(wr) // nb) + li0) * p + r
+    gtcol = ((jnp.arange(wc) // nb) + lj0) * q + c
+    j_elem = jnp.arange(wc)
 
     def body(k, x):
         kr, kc = k % p, k % q
-        lik, ljk = k // p, k // q
+        lik, ljk = k // p - li0, k // q - lj0  # window-local tile coords
         dblk = lax.dynamic_slice(x, (lik * nb, ljk * nb), (nb, nb))
         own_diag = (r == kr) & (c == kc)
         diag = lax.psum(jnp.where(own_diag, dblk, zero), ("r", "c"))
         lkk = jnp.tril(lax.linalg.cholesky(diag, symmetrize_input=False))
 
-        col = lax.dynamic_slice(x, (jnp.zeros_like(k), ljk * nb), (ltr * nb, nb))
+        col = lax.dynamic_slice(x, (jnp.zeros_like(k), ljk * nb), (wr, nb))
         solved = lax.linalg.triangular_solve(
             lkk, col, left_side=False, lower=True, transpose_a=True
         )
@@ -155,22 +151,51 @@ def _potrf_local_fori(x, layout: BlockCyclicLayout):
         )
 
         panel_rows = lax.psum(jnp.where(below & in_kc, newcol, zero), "c")
-        panel_full = lax.all_gather(panel_rows, "r")  # (p, ltr*nb, nb)
+        panel_full = lax.all_gather(panel_rows, "r")  # (p, wr, nb)
         a_op = jnp.where(below, panel_rows, zero)
-        jtile = (j_elem // nb) * q + c
-        b_op = panel_full[jtile % p, (jtile // p) * nb + j_elem % nb, :]
+        jtile = ((j_elem // nb) + lj0) * q + c
+        b_op = panel_full[jtile % p, (jtile // p - li0) * nb + j_elem % nb, :]
         b_op = jnp.where((gtcol > k)[:, None], b_op, zero)
         upd = jnp.matmul(a_op, b_op.T, preferred_element_type=_acc(dtype))
         return x - upd.astype(dtype)
 
-    return lax.fori_loop(0, nt, body, x)
+    return lax.fori_loop(k0, k1, body, sub)
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "mesh", "unroll"))
-def _potrf_jit(x, layout: BlockCyclicLayout, mesh: Mesh, unroll: bool):
-    local = _potrf_local if unroll else _potrf_local_fori
+def _potrf_local_super(x, layout: BlockCyclicLayout, super_steps: int):
+    """Super-stepped fori variant: program size O(nt / super_steps).
+
+    The panel loop runs in segments of ``super_steps`` steps; before each
+    segment the dead leading tile rows/cols are cut off with a *static*
+    slice (local tile row li is finished for every device once
+    li·p + p − 1 < k, so the window start s0//p is a Python index). Within
+    a segment, per-k masking covers the ≤super_steps·nb rows of slack —
+    the masked-flops overhead of the pure-fori variant shrinks from O(nt)
+    steps of full-width updates to O(super_steps) of window width.
+    """
+    nb, p, q = layout.nb, layout.p, layout.q
+    nt = layout.ntiles
+    for s0 in range(0, nt, super_steps):
+        s1 = min(nt, s0 + super_steps)
+        li0, lj0 = s0 // p, s0 // q
+        t_r, t_c = li0 * nb, lj0 * nb
+        sub = _fori_window(x[t_r:, t_c:], layout, s0, s1, li0, lj0)
+        x = x.at[t_r:, t_c:].set(sub)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "mesh", "unroll", "super_steps"))
+def _potrf_jit(
+    x, layout: BlockCyclicLayout, mesh: Mesh, unroll: bool, super_steps: int
+):
+    if unroll:
+        local = functools.partial(_potrf_local, layout=layout)
+    else:
+        local = functools.partial(
+            _potrf_local_super, layout=layout, super_steps=super_steps
+        )
     f = jax.shard_map(
-        functools.partial(local, layout=layout),
+        local,
         mesh=mesh,
         in_specs=layout.spec(),
         out_specs=layout.spec(),
@@ -185,15 +210,20 @@ def potrf_block_cyclic(
     mesh: Mesh,
     *,
     unroll: bool | None = None,
+    super_steps: int | None = None,
 ) -> jax.Array:
     """Distributed POTRF of a cyclic-permuted sharded matrix (see
     ``block_cyclic.from_dense``). Returns the factor in the same layout;
     only lower-triangle tiles are meaningful.
 
     ``unroll=None`` picks the trace-time-unrolled program (true flop count,
-    static shrinking windows) for ≤64 tile steps and the O(1)-size
-    ``fori_loop`` program beyond that.
+    static shrinking windows) for ≤64 tile steps; beyond that, the
+    super-stepped ``fori_loop`` program (static window shrink every
+    ``super_steps`` panels, default sized so the program stays ≤32
+    segments).
     """
     if unroll is None:
         unroll = layout.ntiles <= 64
-    return _potrf_jit(x, layout, mesh, unroll)
+    if super_steps is None:
+        super_steps = max(1, -(-layout.ntiles // 32))
+    return _potrf_jit(x, layout, mesh, unroll, super_steps)

@@ -111,10 +111,16 @@ class TestDistributedPotrfFori:
         a = _spd(n, seed=p + 5 * q)
         x = from_dense(np.tril(a), lay, mesh)
         lu = np.tril(to_dense(potrf_block_cyclic(x, lay, mesh, unroll=True), lay))
-        lf = np.tril(to_dense(potrf_block_cyclic(x, lay, mesh, unroll=False), lay))
-        np.testing.assert_allclose(lf, lu, rtol=1e-11, atol=1e-11)
         ref = scipy.linalg.cholesky(a, lower=True)
-        np.testing.assert_allclose(lf, ref, rtol=1e-9, atol=1e-9)
+        for ss in (lay.ntiles, 3, 1):  # one segment, ragged segments, per-step
+            lf = np.tril(
+                to_dense(
+                    potrf_block_cyclic(x, lay, mesh, unroll=False, super_steps=ss),
+                    lay,
+                )
+            )
+            np.testing.assert_allclose(lf, lu, rtol=1e-11, atol=1e-11)
+            np.testing.assert_allclose(lf, ref, rtol=1e-9, atol=1e-9)
 
     def test_auto_threshold_picks_fori_for_many_tiles(self):
         n, nb = 160, 2  # 80 tile steps > 64 -> auto picks the fori path
