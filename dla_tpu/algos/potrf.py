@@ -49,10 +49,14 @@ def _auto_tb(nb: int, dtype, budget_bytes: int = 10 * 2**20) -> int:
     this model (measured: model 12.6 MB → actual 20.2 MB), so the budget
     leaves that headroom."""
     item = jnp.dtype(dtype).itemsize
-    kb = min(nb, 512)  # the kernel k-splits wide panels at 512
+    # end-to-end measurement on v5e picked tb=512/kb=512 (standalone kernel
+    # probes slightly favored tb=256/kb=1024 and alias=False, but in the
+    # full program the aliased 512/512 config wins — buffer reuse across
+    # the shrink iterations outweighs the kernel-local gain)
     for cand in (512, 256, 128):
         if nb % cand == 0 or cand % nb == 0:
             t = min(cand, nb)
+            kb = min(nb, 512)
             if 2 * t * (2 * t + 2 * kb) * item <= budget_bytes:
                 return t
     return min(nb, 128)
@@ -243,7 +247,7 @@ def potrf_shrink(
                 from dla_tpu.kernels.pallas_tiles import trailing_update_lower
 
                 t = trailing_update_lower(
-                    t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype)
+                    t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype), alias=True
                 )
             else:
                 t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)

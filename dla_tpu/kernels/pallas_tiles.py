@@ -307,6 +307,7 @@ def trailing_update_lower(
     *,
     tb: int = 256,
     kb: int | None = None,
+    alias: bool = True,
     interpret: bool | None = None,
 ) -> jax.Array:
     """C[lower tiles] ← C − P·P^T, visiting only tile pairs (i ≥ j) of the
@@ -317,6 +318,12 @@ def trailing_update_lower(
     ``kb`` splits the panel's contraction dimension so wide panels fit VMEM
     with large tb (the C block is revisited across consecutive k-steps and
     accumulates in VMEM — standard matmul k-split).
+
+    ``alias=False`` writes into a fresh output buffer instead of aliasing C:
+    measured ~20% faster on v5e (aliasing serializes the next block's
+    prefetch against the writeback), but the *unvisited upper-triangle
+    tiles are then undefined* — only callers that never read the upper
+    triangle (e.g. ``potrf_shrink``) may use it.
     """
     m, m2 = c.shape
     if m != m2:
@@ -347,13 +354,14 @@ def trailing_update_lower(
         out_specs=pl.BlockSpec((tb, tb), lambda g, k, i, j: (i[g], j[g])),
     )
     flops = 2 * npairs * tb * tb * nb
+    kw = {"input_output_aliases": {2: 0}} if alias else {}
     return pl.pallas_call(
         _trailing_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(c.shape, c.dtype),
-        input_output_aliases={2: 0},  # c (after the 2 scalar-prefetch args)
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(c.size * 8 + p.size * 4), transcendentals=0
         ),
         interpret=interpret,
+        **kw,
     )(jnp.asarray(i_host), jnp.asarray(j_host), c, p, p)
