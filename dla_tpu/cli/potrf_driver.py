@@ -69,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="SPD generator recipe (dplgsy-style bump / client-style dominance)",
     )
+    ap.add_argument(
+        "--input",
+        default=None,
+        metavar="PATH",
+        help="factor a user-provided matrix (.npy, or raw --dtype binary of "
+        "N*N row-major elements) instead of generating one — the "
+        "reference's '--mat user' option (v3_script_cholesky_x_arg_gpt.c:"
+        "157-175)",
+    )
     ap.add_argument("--no-check", action="store_true", help="skip residual")
     ap.add_argument("--config", default=None, help="JSON config profile path")
     ap.add_argument(
@@ -142,7 +151,20 @@ def main(argv=None) -> int:
     from dla_tpu.utils.flops import gflops, potrf_flops
     from dla_tpu.validate import residual_potrf
 
-    if cfg.gen == "gershgorin":
+    if args.input:
+        if args.input.endswith(".npy"):
+            host = np.load(args.input)
+        else:
+            host = np.fromfile(args.input, dtype=dtype)
+        if host.size != cfg.n * cfg.n:
+            print(
+                f"[dla-potrf] input has {host.size} elements, expected "
+                f"{cfg.n}*{cfg.n}",
+                flush=True,
+            )
+            return 2
+        a = jnp.asarray(host.reshape(cfg.n, cfg.n).astype(dtype))
+    elif cfg.gen == "gershgorin":
         a = spd_gershgorin(cfg.n, seed=cfg.seed, dtype=dtype)
     else:
         a = plgsy(cfg.n, bump=bump, seed=cfg.seed, dtype=dtype)
