@@ -165,3 +165,53 @@ class TestDistributedSolve:
         a = jnp.asarray(to_dense(xa, lay))
         res = float(residual_posv(a, b, x, assume_symmetric=True))
         assert res < 1e-13, res
+
+
+class TestPallasCollectives:
+    def test_ring_all_gather_matches_lax(self):
+        """Validated on a 1-axis mesh — current Pallas interpret-mode DMA
+        does not implement multi-axis meshes (documented in
+        kernels/collectives.py)."""
+        import functools
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dla_tpu.kernels.collectives import ring_all_gather
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("x",))
+        x = jnp.arange(8 * 4 * 6, dtype=jnp.float64).reshape(32, 6)
+
+        g = jax.jit(
+            jax.shard_map(
+                lambda xl: ring_all_gather(xl, "x"),
+                mesh=mesh,
+                in_specs=P("x", None),
+                out_specs=P(None, None),
+                check_vma=False,
+            )
+        )
+        out = np.asarray(g(x))
+        np.testing.assert_array_equal(out, np.asarray(x))
+
+    def test_ring_matches_lax_all_gather_random(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dla_tpu.kernels.collectives import ring_all_gather
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((16, 8)))
+
+        def both(xl):
+            ring = ring_all_gather(xl, "x")
+            ref = jax.lax.all_gather(xl, "x", tiled=True)
+            return ring, ref
+
+        g = jax.jit(
+            jax.shard_map(
+                both, mesh=mesh, in_specs=P("x", None),
+                out_specs=(P(None, None), P(None, None)), check_vma=False,
+            )
+        )
+        ring, ref = g(x)
+        np.testing.assert_array_equal(np.asarray(ring), np.asarray(ref))
