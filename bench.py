@@ -34,7 +34,7 @@ def main():
     n = int(os.environ.get("BENCH_N", 16384))
     nb = int(os.environ.get("BENCH_NB", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 3))
-    panel = os.environ.get("BENCH_PANEL", "xla")
+    panel = os.environ.get("BENCH_PANEL", "invgemm")
     trailing = os.environ.get("BENCH_TRAILING", "pallas")
 
     # Matmul precision for the bench: measured on v5e that 'default' gives

@@ -193,7 +193,7 @@ def potrf_shrink(
     nb: int = 512,
     update_cols: int | None = None,
     diag_factor: DiagFactor = "lax",
-    panel: Literal["xla", "pallas"] = "xla",
+    panel: Literal["xla", "pallas", "invgemm"] = "xla",
     trailing: Literal["xla", "pallas"] = "xla",
     tb: int | None = None,
 ) -> jax.Array:
@@ -233,6 +233,13 @@ def potrf_shrink(
 
             strip = panel_factor(t[:, :w])  # fused diag factor + all solves
             lp = strip[w:]
+        elif panel == "invgemm" and m > w:
+            # TRSM-as-GEMM: one nb×nb triangular solve against I (cheap),
+            # then the tall panel solve is a plain MXU GEMM.
+            lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+            linv = trsm(1.0, lkk, jnp.eye(w, dtype=a.dtype), side="L", transa=False)
+            lp = gemm(1.0, t[w:, :w], linv, 0.0, jnp.zeros((m - w, w), a.dtype), transb=True)
+            strip = jnp.concatenate([lkk, lp], axis=0)
         else:
             lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
             if m > w:

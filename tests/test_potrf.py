@@ -199,3 +199,14 @@ class TestPotriBatched:
         for i in range(batch):
             ref = scipy.linalg.cholesky(a[i], lower=True)
             np.testing.assert_allclose(ls[i], ref, rtol=1e-9, atol=1e-9)
+
+
+class TestPanelInvGemm:
+    def test_invgemm_matches_lapack(self):
+        from dla_tpu.algos import potrf_shrink
+
+        n, nb = 192, 64
+        a = _spd(n, seed=70)
+        got = np.asarray(potrf_shrink(jnp.asarray(a), nb=nb, panel="invgemm"))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
