@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
     )
     ap.add_argument(
-        "--panel", choices=["xla", "pallas"], default="xla",
+        "--panel", choices=["xla", "pallas", "invgemm"], default="xla",
         help="panel-factor backend (blocked/shrink modes)",
     )
     ap.add_argument(
