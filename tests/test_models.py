@@ -155,3 +155,44 @@ class TestRenorm:
         assert y_eval.shape == x.shape
         z = birelu(jnp.asarray([-2.0, 0.0, 3.0]))
         np.testing.assert_allclose(np.asarray(z), [-0.02, 0.0, 3.0], rtol=1e-6)
+
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+class TestModelsCLIEndToEnd:
+    def test_full_pipeline(self, tmp_path):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+
+        def run(*args):
+            r = subprocess.run(
+                [sys.executable, "-m", "dla_tpu.models.cli", *args],
+                capture_output=True, text=True, env=env, timeout=590,
+            )
+            assert r.returncode == 0, r.stdout + r.stderr
+            return r.stdout
+
+        d = str(tmp_path / "data")
+        feats = str(tmp_path / "f.npz")
+        model = str(tmp_path / "wp.pkl")
+        run("gen-data", "--out", d, "--days", "300", "--universes", "indices")
+        out = run("audit", "--data", d)
+        assert "common overlap" in out
+        run("features", "--data", d, "--out", feats, "--window", "16")
+        run("train", "--features", feats, "--model", model, "--epochs", "2",
+            "--hidden", "8")
+        out = run("eval", "--features", feats, "--model", model)
+        assert "directional_accuracy" in out
+        pred = str(tmp_path / "pred.tsv")
+        cum = str(tmp_path / "cum.tsv")
+        run("predict", "--features", feats, "--model", model, "--out", pred,
+            "--cumret", cum)
+        assert os.path.getsize(pred) > 100 and os.path.getsize(cum) > 20
