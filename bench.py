@@ -31,7 +31,7 @@ def log(*a):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 16384))
+    n = int(os.environ.get("BENCH_N", 28672))
     nb = int(os.environ.get("BENCH_NB", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 3))
     panel = os.environ.get("BENCH_PANEL", "invgemm")

@@ -46,7 +46,10 @@ def residual_potrf(a: jax.Array, l: jax.Array, *, norm: str = "I", assume_symmet
     wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     aa = a.astype(wide) if assume_symmetric else _symmetrize_lower(a.astype(wide))
     ll = jnp.tril(l).astype(wide)
-    rec = jnp.matmul(ll, ll.T, preferred_element_type=wide)
+    # precision pinned: the validator's own reconstruction must not run at
+    # the TPU's default bf16 matmul precision, or the measurement floor
+    # (~1e-3 at large N) masks the factor's actual quality
+    rec = jnp.matmul(ll, ll.T, preferred_element_type=wide, precision="highest")
     num = lange(norm, aa - rec)
     den = lange(norm, aa)
     return num / den
@@ -59,7 +62,7 @@ def residual_posv(a: jax.Array, b: jax.Array, x: jax.Array, *, assume_symmetric:
     aa = a.astype(wide) if assume_symmetric else _symmetrize_lower(a.astype(wide))
     bb = b.astype(wide)
     xx = x.astype(wide)
-    r = bb - jnp.matmul(aa, xx, preferred_element_type=wide)
+    r = bb - jnp.matmul(aa, xx, preferred_element_type=wide, precision="highest")
     num = lange("I", r if r.ndim == 2 else r[:, None])
     den = lange("I", aa) * lange("I", xx if xx.ndim == 2 else xx[:, None])
     return num / den
