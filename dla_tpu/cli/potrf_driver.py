@@ -210,7 +210,19 @@ def main(argv=None) -> int:
 
     rc = 0
     if cfg.check:
-        res = float(residual_potrf(a, l))
+        import functools
+
+        # jit the validation: eager execution materializes every N² temporary
+        # simultaneously and OOMs HBM at large N; under jit XLA frees
+        # intermediates. Generated matrices are fully symmetric, so the
+        # symmetrize copy is skipped too.
+        res = float(
+            jax.jit(
+                functools.partial(
+                    residual_potrf, assume_symmetric=not args.input
+                )
+            )(a, l)
+        )
         print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
         if args.gate is not None:
             gate = args.gate
