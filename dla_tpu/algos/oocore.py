@@ -13,11 +13,17 @@ SURVEY §5.7). The TPU-native design:
   (one device GEMM per k), then factored on-device (blocked right-looking
   within the panel), then scattered back. Device working set = 2 panels,
   independent of N;
-- factored panels are final the moment they are written back, so the
-  store *is* the checkpoint: with a disk-backed store and a progress
-  sidecar, an interrupted factorization resumes at the first unfinished
-  panel (the reference's only resume story was append-mode CSVs —
-  SURVEY §5.3/5.4; here the compute itself resumes);
+- the k-panel stream is **double-buffered**: a host prefetch thread packs
+  panel k+1 and starts its host→device transfer while the device runs the
+  update GEMM against panel k (the TPU-native analogue of the reference's
+  pinned-buffer DMA overlap, ``v6_script_cholesky_w_residu_malloc.c:41-58``);
+- factored panels are committed **transactionally** when a progress sidecar
+  is used: the factored panel is first written to a scratch file (atomic
+  rename), the sidecar records the in-flight commit, and only then is the
+  store overwritten — a crash anywhere leaves either the pristine panel or
+  a durable copy of the factored one, never a torn write (an interrupted
+  run resumes at the first unfinished panel; the reference's only resume
+  story was append-mode CSVs — SURVEY §5.3/5.4);
 - validation at this scale is a Freivalds residual probe (O(N²) per probe,
   native) instead of a dense O(N³) reconstruction.
 """
@@ -27,6 +33,8 @@ from __future__ import annotations
 import functools
 import json
 import os
+import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
 import numpy as np
@@ -81,6 +89,71 @@ def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str):
     raise ValueError(kind)
 
 
+class _Sidecar:
+    """Atomic progress sidecar with transactional panel commits.
+
+    States per panel: absent (untouched in store) → committing (factored
+    data durable in the scratch file, store possibly torn) → done (store
+    holds the factored panel). All sidecar/scratch writes are
+    write-tmp-then-rename, so every crash point recovers cleanly.
+    """
+
+    def __init__(self, path: str, n: int, panel: int):
+        self.path = path
+        self.scratch = path + ".commit.npy"
+        self.n, self.panel = n, panel
+        self.done: set[int] = set()
+        self.committing: int | None = None
+        if os.path.exists(path):
+            with open(path) as f:
+                state = json.load(f)
+            if state.get("n") == n and state.get("panel") == panel:
+                self.done = set(state.get("done", []))
+                self.committing = state.get("committing")
+
+    def _write(self):
+        tmp = self.path + ".tmp"
+        state = {"n": self.n, "panel": self.panel, "done": sorted(self.done)}
+        if self.committing is not None:
+            state["committing"] = self.committing
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+    def stage(self, j: int, data: np.ndarray):
+        """Durably record panel j's factored data before the store is touched."""
+        tmp = self.scratch + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, data)
+        os.replace(tmp, self.scratch)
+        self.committing = j
+        self._write()
+
+    def commit(self, j: int):
+        self.done.add(j)
+        self.committing = None
+        self._write()
+        if os.path.exists(self.scratch):
+            os.remove(self.scratch)
+
+    def recover(self, store: HostTileStore):
+        """Replay an interrupted commit: the scratch file is the source of
+        truth for the in-flight panel (the store may hold a torn write)."""
+        j = self.committing
+        if j is None:
+            return
+        if os.path.exists(self.scratch):
+            data = np.load(self.scratch)
+            store.unpack(j * self.panel, j * self.panel, data)
+            self.commit(j)
+        else:
+            # crashed between sidecar write and scratch rename is impossible
+            # (scratch is written first); a missing scratch means the stage()
+            # itself never completed — the store panel is still pristine.
+            self.committing = None
+            self._write()
+
+
 def potrf_outofcore(
     store: HostTileStore,
     *,
@@ -88,7 +161,8 @@ def potrf_outofcore(
     nb: int = 512,
     progress_path: str | None = None,
     on_panel: Callable[[int, int], None] | None = None,
-) -> None:
+    prefetch: bool = True,
+) -> dict:
     """Factor the SPD matrix in ``store`` in place (lower triangle becomes L).
 
     Args:
@@ -97,8 +171,16 @@ def potrf_outofcore(
         is ~2 · N · panel elements).
       nb: blocking inside the on-device panel factorization.
       progress_path: optional JSON sidecar for checkpoint/resume — panels
-        recorded there are skipped (use with a disk-backed store).
+        recorded there are skipped, and panel writebacks become
+        transactional (scratch-file staged) so a crash mid-writeback
+        cannot corrupt the store (use with a disk-backed store).
       on_panel: optional callback(panel_index, n_panels) after each panel.
+      prefetch: overlap host pack + h2d of panel k+1 with the device update
+        GEMM against panel k (double buffering).
+
+    Returns:
+      staging stats: bytes/seconds for pack (host gather), h2d wait, d2h +
+      scatter, and total wall — the measured staging bandwidth.
     """
     import jax
     import jax.numpy as jnp
@@ -113,31 +195,63 @@ def potrf_outofcore(
     if n % panel:
         raise ValueError(f"n={n} must be a multiple of panel={panel}")
     npan = n // panel
-    done: set[int] = set()
-    if progress_path and os.path.exists(progress_path):
-        with open(progress_path) as f:
-            state = json.load(f)
-        if state.get("n") == n and state.get("panel") == panel:
-            done = set(state.get("done", []))
+    side = _Sidecar(progress_path, n, panel) if progress_path else None
+    if side:
+        side.recover(store)
+
+    stats = {
+        "pack_s": 0.0, "h2d_wait_s": 0.0, "writeback_s": 0.0,
+        "bytes_in": 0, "bytes_out": 0, "wall_s": 0.0, "panels": 0,
+    }
+    wall0 = time.perf_counter()
+    item = store.dtype.itemsize
+    pool = ThreadPoolExecutor(max_workers=1) if prefetch else None
+
+    def fetch(j0: int, k0: int, ph: int):
+        """pack + start h2d for the (ph, panel) block at (j0, k0)."""
+        t0 = time.perf_counter()
+        buf = store.pack(j0, k0, ph, panel)
+        t1 = time.perf_counter()
+        arr = jnp.asarray(buf)  # async h2d dispatch
+        stats["pack_s"] += t1 - t0
+        stats["bytes_in"] += ph * panel * item
+        return arr
 
     dtype_str = str(store.dtype)
-    for j in range(npan):
-        if j in done:
-            continue
-        j0 = j * panel
-        ph = n - j0
-        pj = jnp.asarray(store.pack(j0, j0, ph, panel))
-        for k in range(j):
-            k0 = k * panel
-            lk = jnp.asarray(store.pack(j0, k0, ph, panel))
-            pj = _jitted("update", (ph, panel), nb, dtype_str)(pj, lk)
-        pj = _jitted("factor", (ph, panel), nb, dtype_str)(pj)
-        store.unpack(j0, j0, np.asarray(pj))
-        done.add(j)
-        if progress_path:
-            tmp = progress_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"n": n, "panel": panel, "done": sorted(done)}, f)
-            os.replace(tmp, progress_path)
-        if on_panel:
-            on_panel(j, npan)
+    try:
+        for j in range(npan):
+            if side and j in side.done:
+                continue
+            j0 = j * panel
+            ph = n - j0
+            pj = fetch(j0, j0, ph)
+            nxt = None
+            if pool and j > 0:
+                nxt = pool.submit(fetch, j0, 0, ph)
+            for k in range(j):
+                t0 = time.perf_counter()
+                lk = nxt.result() if nxt is not None else fetch(j0, k * panel, ph)
+                stats["h2d_wait_s"] += time.perf_counter() - t0
+                if pool and k + 1 < j:
+                    nxt = pool.submit(fetch, j0, (k + 1) * panel, ph)
+                else:
+                    nxt = None
+                pj = _jitted("update", (ph, panel), nb, dtype_str)(pj, lk)
+            pj = _jitted("factor", (ph, panel), nb, dtype_str)(pj)
+            t0 = time.perf_counter()
+            host_pj = np.asarray(pj)  # d2h (blocks until the panel is done)
+            if side:
+                side.stage(j, host_pj)
+            store.unpack(j0, j0, host_pj)
+            if side:
+                side.commit(j)
+            stats["writeback_s"] += time.perf_counter() - t0
+            stats["bytes_out"] += host_pj.nbytes
+            stats["panels"] += 1
+            if on_panel:
+                on_panel(j, npan)
+    finally:
+        if pool:
+            pool.shutdown(wait=False, cancel_futures=True)
+    stats["wall_s"] = time.perf_counter() - wall0
+    return stats

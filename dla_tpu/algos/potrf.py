@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dla_tpu.ops import gemm, potrf_unblocked, trsm
+from dla_tpu.utils import precision as _precision
 
 DiagFactor = Literal["lax", "unblocked"]
 
@@ -73,7 +74,7 @@ def _chol_tile(d: jax.Array, diag_factor: DiagFactor) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "update_cols", "diag_factor", "panel", "trailing"),
+    static_argnames=("nb", "update_cols", "diag_factor", "panel", "trailing", "precision"),
 )
 def potrf_blocked(
     a: jax.Array,
@@ -83,6 +84,7 @@ def potrf_blocked(
     diag_factor: DiagFactor = "lax",
     panel: Literal["xla", "pallas"] = "xla",
     trailing: Literal["xla", "pallas"] = "xla",
+    precision: str | None = None,
 ) -> jax.Array:
     """Right-looking blocked Cholesky, panel loop unrolled at trace time.
 
@@ -97,6 +99,8 @@ def potrf_blocked(
         kernel launch (requires n % nb == 0).
       trailing: "pallas" runs each trailing wave as one kernel over
         lower-triangle tile pairs only (requires n % nb == 0).
+      precision: explicit matmul-precision override for this trace
+        ("default" | "high" | "highest"); None = the env-var policy.
 
     Returns:
       L (lower triangular, strict upper = 0) with A = L @ L.T.
@@ -106,6 +110,13 @@ def potrf_blocked(
         raise ValueError(f"pallas paths require n % nb == 0, got {n} % {nb}")
     if update_cols is None:
         update_cols = max(nb, (n // 8 // nb) * nb or nb)
+    with _precision.override(precision):
+        return _potrf_blocked_body(
+            a, n, nb, update_cols, diag_factor, panel, trailing
+        )
+
+
+def _potrf_blocked_body(a, n, nb, update_cols, diag_factor, panel, trailing):
     out = jnp.tril(a)
     for off in range(0, n, nb):
         w = min(nb, n - off)
@@ -183,9 +194,32 @@ def potrf_masked(
     return jnp.tril(out)
 
 
+def _blocktrsm_panel(lkk, b, *, ib: int = 512):
+    """Blocked TRSM: X·L^T = B with only the ib×ib diagonal blocks of L
+    inverted — X[:, j] = (B[:, j] − X[:, <j]·L[j, <j]^T)·inv(L_jj)^T. Half
+    the flops of the full inverse-GEMM path and all of them MXU GEMMs
+    (measured 17.4 ms vs 33.5 ms at 24576×4096 fp32-highest on v5e,
+    ``results/micro_r2.jsonl``)."""
+    w = lkk.shape[0]
+    ib = min(ib, w)
+    eye = jnp.eye(ib, dtype=lkk.dtype)
+    x = jnp.zeros_like(b)
+    for off in range(0, w, ib):
+        dinv = trsm(1.0, lkk[off : off + ib, off : off + ib], eye, side="L", transa=False)
+        rhs = b[:, off : off + ib]
+        if off:
+            rhs = gemm(-1.0, x[:, :off], lkk[off : off + ib, :off], 1.0, rhs, transb=True)
+        x = x.at[:, off : off + ib].set(
+            gemm(1.0, rhs, dinv, 0.0, jnp.zeros_like(rhs), transb=True)
+        )
+    return x
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "update_cols", "diag_factor", "panel", "trailing", "tb"),
+    static_argnames=(
+        "nb", "update_cols", "diag_factor", "panel", "trailing", "tb", "precision",
+    ),
 )
 def potrf_shrink(
     a: jax.Array,
@@ -193,9 +227,10 @@ def potrf_shrink(
     nb: int = 512,
     update_cols: int | None = None,
     diag_factor: DiagFactor = "lax",
-    panel: Literal["xla", "pallas", "invgemm"] = "xla",
+    panel: Literal["xla", "pallas", "invgemm", "blocktrsm"] = "xla",
     trailing: Literal["xla", "pallas"] = "xla",
     tb: int | None = None,
+    precision: str | None = None,
 ) -> jax.Array:
     """Right-looking Cholesky on a *shrinking* trailing matrix — the
     compile-friendliest formulation.
@@ -214,51 +249,56 @@ def potrf_shrink(
     del update_cols  # accepted for interface parity; shrink updates square
     if (panel == "pallas" or trailing == "pallas") and n % nb:
         raise ValueError(f"pallas paths require n % nb == 0, got {n} % {nb}")
-    t = jnp.tril(a)
-    if trailing != "pallas":
-        # the full-square XLA trailing GEMM needs a symmetric trailing block;
-        # the pallas path updates only the lower trapezoid and never reads
-        # the upper triangle, so plain tril suffices there.
-        t = t + jnp.tril(t, -1).swapaxes(-1, -2)
-    # finished column strips land in a preallocated output (one
-    # dynamic-update-slice per panel — Nb of them is compile-cheap, unlike
-    # the per-op DUS chains of potrf_blocked) so peak memory is
-    # out + two trailing copies (~2N²) instead of strips + trailing (~3N²).
-    out = jnp.zeros((n, n), a.dtype)
-    for off in range(0, n, nb):
-        m = n - off
-        w = min(nb, m)
-        if panel == "pallas":
-            from dla_tpu.kernels.pallas_tiles import panel_factor
+    with _precision.override(precision):
+        t = jnp.tril(a)
+        if trailing != "pallas":
+            # the full-square XLA trailing GEMM needs a symmetric trailing
+            # block; the pallas path updates only the lower trapezoid and
+            # never reads the upper triangle, so plain tril suffices there.
+            t = t + jnp.tril(t, -1).swapaxes(-1, -2)
+        # finished column strips land in a preallocated output (one
+        # dynamic-update-slice per panel — Nb of them is compile-cheap, unlike
+        # the per-op DUS chains of potrf_blocked) so peak memory is
+        # out + two trailing copies (~2N²) instead of strips + trailing (~3N²).
+        out = jnp.zeros((n, n), a.dtype)
+        for off in range(0, n, nb):
+            m = n - off
+            w = min(nb, m)
+            if panel == "pallas":
+                from dla_tpu.kernels.pallas_tiles import panel_factor
 
-            strip = panel_factor(t[:, :w])  # fused diag factor + all solves
-            lp = strip[w:]
-        elif panel == "invgemm" and m > w:
-            # TRSM-as-GEMM: one nb×nb triangular solve against I (cheap),
-            # then the tall panel solve is a plain MXU GEMM.
-            lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
-            linv = trsm(1.0, lkk, jnp.eye(w, dtype=a.dtype), side="L", transa=False)
-            lp = gemm(1.0, t[w:, :w], linv, 0.0, jnp.zeros((m - w, w), a.dtype), transb=True)
-            strip = jnp.concatenate([lkk, lp], axis=0)
-        else:
-            lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+                strip = panel_factor(t[:, :w])  # fused diag factor + solves
+                lp = strip[w:]
+            elif panel == "invgemm" and m > w:
+                # TRSM-as-GEMM: one nb×nb triangular solve against I (cheap),
+                # then the tall panel solve is a plain MXU GEMM.
+                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+                linv = trsm(1.0, lkk, jnp.eye(w, dtype=a.dtype), side="L", transa=False)
+                lp = gemm(1.0, t[w:, :w], linv, 0.0, jnp.zeros((m - w, w), a.dtype), transb=True)
+                strip = jnp.concatenate([lkk, lp], axis=0)
+            elif panel == "blocktrsm" and m > w:
+                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+                lp = _blocktrsm_panel(lkk, t[w:, :w])
+                strip = jnp.concatenate([lkk, lp], axis=0)
+            else:
+                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+                if m > w:
+                    lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True)
+                    strip = jnp.concatenate([lkk, lp], axis=0)  # (m, w)
+                else:
+                    lp = None
+                    strip = lkk
+            out = lax.dynamic_update_slice(out, strip, (off, off))
             if m > w:
-                lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True)
-                strip = jnp.concatenate([lkk, lp], axis=0)  # (m, w)
-            else:
-                lp = None
-                strip = lkk
-        out = lax.dynamic_update_slice(out, strip, (off, off))
-        if m > w:
-            if trailing == "pallas":
-                from dla_tpu.kernels.pallas_tiles import trailing_update_lower
+                if trailing == "pallas":
+                    from dla_tpu.kernels.pallas_tiles import trailing_update_lower
 
-                t = trailing_update_lower(
-                    t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype), alias=True
-                )
-            else:
-                t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
-    return jnp.tril(out)
+                    t = trailing_update_lower(
+                        t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype), alias=True
+                    )
+                else:
+                    t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
+        return jnp.tril(out)
 
 
 def potrf(

@@ -243,6 +243,12 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
         except subprocess.TimeoutExpired as e:
             exit_code = 124
             out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            if cfg.platform != "cpu":
+                # A killed TPU child likely left a remote compile in flight;
+                # the single-threaded compile service keeps chewing on it, so
+                # an immediate retry would also time out. Record rc=124 and
+                # move on (the resumable CSV lets the config be re-run later).
+                break
         if exit_code == 0:
             break
     wall_ms = (time.perf_counter() - t0) * 1e3

@@ -309,6 +309,8 @@ def trailing_update_lower(
     kb: int | None = None,
     alias: bool = True,
     interpret: bool | None = None,
+    vmem_limit_bytes: int | None = None,
+    dimension_semantics: tuple | None = None,
 ) -> jax.Array:
     """C[lower tiles] ← C − P·P^T, visiting only tile pairs (i ≥ j) of the
     tb×tb tile grid — the per-panel trailing SYRK/GEMM wave as one kernel,
@@ -355,6 +357,11 @@ def trailing_update_lower(
     )
     flops = 2 * npairs * tb * tb * nb
     kw = {"input_output_aliases": {2: 0}} if alias else {}
+    if vmem_limit_bytes is not None or dimension_semantics is not None:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+            dimension_semantics=dimension_semantics,
+        )
     return pl.pallas_call(
         _trailing_kernel,
         grid_spec=grid_spec,

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
+#include <limits>
 #include <cstring>
 
 extern "C" {
@@ -125,9 +126,10 @@ DEFINE_NORM(f64, double)
 // Freivalds residual probe:  max_i |(A - L L^T) x|_i  for a random probe x
 // ---------------------------------------------------------------------------
 // A symmetric-from-lower in `a`; L lower-triangular in `l` (same n, ld).
-// Returns the infinity norm of the residual-vector; the caller normalizes
-// by ||A||_inf * ||x||_inf. O(N²) per probe instead of O(N³) dense
-// reconstruction — the out-of-core validation path.
+// Returns ||(A - L L^T) x||_inf / ||x||_inf (the probe's *actual* infinity
+// norm, not its theoretical 0.5 bound); the caller normalizes by ||A||_inf.
+// O(N²) per probe instead of O(N³) dense reconstruction — the out-of-core
+// validation path. Returns NaN on allocation failure.
 
 static inline double probe_x(uint32_t seed, int64_t i) {
   uint32_t h = mix32(static_cast<uint32_t>(i) * 0x9E3779B9u ^ seed);
@@ -140,7 +142,15 @@ static inline double probe_x(uint32_t seed, int64_t i) {
     double* x = (double*)malloc(sizeof(double) * n);                          \
     double* y = (double*)calloc(n, sizeof(double));  /* A x */                \
     double* t = (double*)calloc(n, sizeof(double));  /* L^T x */              \
-    for (int64_t i = 0; i < n; ++i) x[i] = probe_x(seed, i);                  \
+    if (!x || !y || !t) {                                                     \
+      free(x); free(y); free(t);                                              \
+      return std::numeric_limits<double>::quiet_NaN();                        \
+    }                                                                         \
+    double xinf = 0.0;                                                        \
+    for (int64_t i = 0; i < n; ++i) {                                         \
+      x[i] = probe_x(seed, i);                                                \
+      if (std::fabs(x[i]) > xinf) xinf = std::fabs(x[i]);                     \
+    }                                                                         \
     _Pragma("omp parallel for schedule(static)")                              \
     for (int64_t i = 0; i < n; ++i) {                                         \
       double s = 0.0;                                                         \
@@ -169,7 +179,7 @@ static inline double probe_x(uint32_t seed, int64_t i) {
       if (local > err) err = local;                                           \
     }                                                                         \
     free(x); free(y); free(t);                                                \
-    return err;                                                               \
+    return err / xinf;                                                        \
   }
 
 DEFINE_FREIVALDS(f32, float)

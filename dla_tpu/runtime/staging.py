@@ -170,8 +170,10 @@ class HostTileStore:
         na = self.norm_inf_sym_lower()
         worst = 0.0
         for p in range(probes):
+            # native probe returns ||(A − LL^T)x||_inf already normalized by
+            # the probe's actual ||x||_inf (NaN on allocation failure)
             err = getattr(self._lib, f"dla_freivalds_{self._suf}")(
                 self._addr(), factor._addr(), self.n, self.n, 0xC0FFEE ^ p
             )
-            worst = max(worst, err / (na * 0.5))  # probe entries in (-.5, .5)
+            worst = max(worst, err / na)
         return worst

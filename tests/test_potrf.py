@@ -210,3 +210,64 @@ class TestPanelInvGemm:
         got = np.asarray(potrf_shrink(jnp.asarray(a), nb=nb, panel="invgemm"))
         ref = scipy.linalg.cholesky(a, lower=True)
         np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+    def test_blocktrsm_matches_lapack(self):
+        """Blocked-TRSM panel (only ib-diagonal blocks inverted; the rest
+        MXU GEMMs — the round-2 TPU panel path)."""
+        from dla_tpu.algos import potrf_shrink
+
+        n, nb = 256, 64
+        a = _spd(n, seed=71)
+        got = np.asarray(potrf_shrink(jnp.asarray(a), nb=nb, panel="blocktrsm"))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+    def test_blocktrsm_inner_blocking_nondivisible_width(self):
+        """nb larger than the default inner block and nb < inner block both
+        reduce correctly (ib is clamped to the panel width)."""
+        from dla_tpu.algos.potrf import _blocktrsm_panel
+
+        rng = np.random.default_rng(5)
+        for w, ib in [(96, 32), (32, 512)]:
+            g = rng.standard_normal((w, w))
+            lkk = np.tril(g + w * np.eye(w))
+            b = rng.standard_normal((64, w))
+            got = np.asarray(
+                _blocktrsm_panel(jnp.asarray(lkk), jnp.asarray(b), ib=ib)
+            )
+            ref = scipy.linalg.solve_triangular(lkk, b.T, lower=True).T
+            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+class TestPrecisionOverride:
+    def test_precision_static_arg_retraces(self):
+        """Same shapes at two precisions must give two traces (the env var
+        alone cannot retrigger a jit trace) — and both factor correctly."""
+        from dla_tpu.algos import potrf_shrink
+
+        n, nb = 128, 32
+        a = _spd(n, seed=72).astype(np.float32)
+        ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
+        for prec in ("default", "high", "highest"):
+            got = np.asarray(potrf_shrink(jnp.asarray(a), nb=nb, precision=prec))
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_override_restored_on_error(self):
+        from dla_tpu.utils import precision as P
+
+        with pytest.raises(ValueError):
+            with P.override("nonsense"):
+                pass
+        try:
+            with P.override("default"):
+                assert P.matmul_precision() == "default"
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert P.matmul_precision() != "default" or True
+        # the override must not leak
+        import os
+
+        assert P.matmul_precision() == os.environ.get(
+            "DLA_TPU_MATMUL_PRECISION", "highest"
+        )

@@ -98,6 +98,46 @@ class TestOutOfCore:
             res = orig.freivalds_residual(st)
         assert res < 1e-10, res
 
+    def test_torn_writeback_recovers_from_scratch(self, tmp_path):
+        """Crash DURING the store writeback of a factored panel (after the
+        scratch-stage, mid-unpack): the store holds a torn panel, but resume
+        must replay the commit from the durable scratch file (ADVICE r1:
+        the old sidecar recorded completion only after unpack, so this
+        window silently corrupted the factor)."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        n, panel, nb = 128, 32, 16
+        mat = str(tmp_path / "mat.bin")
+        prog = str(tmp_path / "progress.json")
+
+        class Torn(Exception):
+            pass
+
+        with HostTileStore(n, np.float64, path=mat) as st:
+            st.fill_plgsy(seed=51)
+            a_sym = np.tril(st.array) + np.tril(st.array, -1).T
+
+            real_unpack = st.unpack
+            calls = []
+
+            def torn_unpack(i0, j0, src):
+                calls.append(i0)
+                if len(calls) == 2:  # panel j=1: tear the write, then die
+                    real_unpack(i0, j0, np.full_like(src, np.nan))
+                    raise Torn
+                return real_unpack(i0, j0, src)
+
+            st.unpack = torn_unpack
+            with pytest.raises(Torn):
+                potrf_outofcore(st, panel=panel, nb=nb, progress_path=prog)
+
+        with HostTileStore(n, np.float64, path=mat) as st2:
+            assert np.isnan(st2.array[panel:, panel : 2 * panel]).any()
+            potrf_outofcore(st2, panel=panel, nb=nb, progress_path=prog)
+            got = np.tril(st2.array)
+        ref = scipy.linalg.cholesky(a_sym, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
     def test_checkpoint_resume(self, tmp_path):
         """Kill-and-resume: factor the first panels, 'crash', resume from
         the progress sidecar, end with a correct factor."""
