@@ -1,15 +1,23 @@
 """Headline benchmark: single-chip tiled POTRF GFLOP/s on real TPU hardware.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N, ...}
+
+``value`` is measured at the library-default ``highest`` matmul precision
+(true fp32 accumulation — 6 MXU passes on this v5e, measured ceiling
+~31 TF/s, ``results/micro2_r2.jsonl``). Lower-precision tiers are also
+measured (time budget permitting) and reported as ``tiers`` entries:
+``high`` = 3-pass bf16x3 (~63 TF/s ceiling — the tier matching the
+"fp32-effective peak" accounting of BASELINE.md), ``default`` = 1-pass bf16
+(~182 TF/s ceiling). Every tier carries its own residual so the
+precision/throughput trade is machine-readable (VERDICT r1 "what's weak" #1).
 
 Baseline: the reference's repo-best 204.8 GFLOP/s — fp64 DPOTRF at N=16000,
 NB=448, hybrid 3CPU+1GPU via Chameleon/StarPU (BASELINE.md; bench.csv).
 GFLOP/s accounting matches the reference exactly: (1/3)·N³ / t
 (``v6_test.c:60`` — no lower-order terms).
 
-Diagnostics (residual, invariants, per-iter times) go to stderr; stdout is
-the single JSON line.
+Diagnostics go to stderr; stdout is the single JSON line.
 """
 
 from __future__ import annotations
@@ -34,20 +42,26 @@ def main():
     n = int(os.environ.get("BENCH_N", 28672))
     nb = int(os.environ.get("BENCH_NB", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 3))
-    panel = os.environ.get("BENCH_PANEL", "invgemm")
+    panel = os.environ.get("BENCH_PANEL", "blocktrsm")
     trailing = os.environ.get("BENCH_TRAILING", "pallas")
-
-    # Matmul precision for the bench: measured on v5e that 'default' gives
-    # identical residual to 'highest' on this code path (the panel solves are
-    # lax.linalg ops unaffected by the knob; the Pallas trailing kernel keeps
-    # fp32 accumulation) and ~10% more throughput. The residual is reported
-    # in the JSON line either way. Library default elsewhere stays 'highest'.
-    os.environ.setdefault("DLA_TPU_MATMUL_PRECISION", "default")
+    tb = int(os.environ.get("BENCH_TB", 1024))
+    kb = int(os.environ.get("BENCH_KB", 256))
+    alias = os.environ.get("BENCH_ALIAS", "0") == "1"
+    # diag-factor backend per tier (measured, results/micro3_r2.jsonl): the
+    # two-level MXU factor wins big at default (0.4 ms vs 20 ms) and mildly
+    # at high, but loses to lax at highest (12.6 ms vs 5.9 ms — the 6-pass
+    # inner GEMMs cost more than XLA's batched-loop factor saves).
+    diag_env = os.environ.get("BENCH_DIAG", "auto")
+    diag_for = lambda p: (  # noqa: E731
+        diag_env if diag_env != "auto"
+        else ("lax" if p == "highest" else "twolevel")
+    )
+    diag = diag_env
+    tiers = os.environ.get("BENCH_PRECISIONS", "highest,default,high").split(",")
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
     import jax
 
-    # Persistent compilation cache: the remote-TPU compile service is slow
-    # for large programs; cache hits make repeat bench runs start instantly.
     cache_dir = os.environ.get("BENCH_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -59,64 +73,84 @@ def main():
     from dla_tpu.validate import residual_potrf
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    log(f"N={n} NB={nb} dtype=float32 iters={iters} panel={panel} trailing={trailing}")
+    log(
+        f"N={n} NB={nb} dtype=float32 iters={iters} panel={panel} "
+        f"trailing={trailing} tb={tb} kb={kb} alias={alias} diag={diag} tiers={tiers}"
+    )
 
     dtype = jnp.float32
-
     idx = jnp.arange(n)
+    t_start = time.perf_counter()
 
-    def step(s):
-        # generate + factor under one jit; the per-iteration bump
-        # perturbation keeps any execution-level caching honest. Generation
-        # is O(N²) elementwise — noise next to the O(N³/3) factorization.
-        a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
-        a = a.at[idx, idx].add(s)  # diagonal perturbation, no N² temp
-        return potrf_shrink(a, nb=nb, panel=panel, trailing=trailing)
+    def run_tier(prec: str):
+        def step(s):
+            # generate + factor under one jit; the per-iteration bump
+            # perturbation keeps any execution-level caching honest.
+            a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
+            a = a.at[idx, idx].add(s)
+            return potrf_shrink(
+                a, nb=nb, panel=panel, trailing=trailing, tb=tb, kb=kb,
+                trailing_alias=alias, diag_factor=diag_for(prec),
+                precision=prec,
+            )
 
-    fn = jax.jit(step)
-
-    t0 = time.perf_counter()
-    l = fn(jnp.float32(0.0))
-    # force through a device->host readback (block_until_ready alone does
-    # not reliably wait on this remote-TPU path)
-    _ = float(l[0, 0])
-    t1 = time.perf_counter()
-    log(f"compile+first run: {t1 - t0:.1f}s")
-
-    times = []
-    for i in range(iters):
-        s = jnp.float32((i + 1) * 1e-3)
+        fn = jax.jit(step)
         t0 = time.perf_counter()
-        l = fn(s)
-        _ = float(l[n - 1, n - 1])  # readback forces completion
-        t1 = time.perf_counter()
-        times.append(t1 - t0)
-        log(f"iter {i}: {t1 - t0:.4f}s -> {(n**3 / 3) / (t1 - t0) / 1e9:.1f} GFLOP/s")
+        l = fn(jnp.float32(0.0))
+        _ = float(l[0, 0])  # scalar readback: block_until_ready is unreliable here
+        compile_s = time.perf_counter() - t0
+        log(f"[{prec}] compile+first run: {compile_s:.1f}s")
+        times = []
+        for i in range(iters):
+            s = jnp.float32((i + 1) * 1e-3)
+            t0 = time.perf_counter()
+            l = fn(s)
+            _ = float(l[n - 1, n - 1])
+            t1 = time.perf_counter()
+            times.append(t1 - t0)
+            log(f"[{prec}] iter {i}: {t1 - t0:.4f}s -> {(n**3 / 3) / (t1 - t0) / 1e9:.1f} GFLOP/s")
+        t = sorted(times)[len(times) // 2]  # median, matching plot_grid_all.py
+        gflops = (n**3 / 3) / t / 1e9
 
-    t = sorted(times)[len(times) // 2]  # median, matching plot_grid_all.py
-    gflops = (n**3 / 3) / t / 1e9
+        @jax.jit
+        def check(l, s):
+            a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
+            a = a.at[idx, idx].add(s)
+            return residual_potrf(a, l)
 
-    @jax.jit
-    def check(l, s):
-        a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
-        a = a.at[idx, idx].add(s)
-        return residual_potrf(a, l)
+        res = float(check(l, jnp.float32(iters * 1e-3)))
+        log(f"[{prec}] Performance: {gflops:.2f} Gflop/s")
+        log(f"[{prec}] ||A - LL^T||_inf / ||A||_inf = {res:.2e}")
+        return {"gflops": round(gflops, 1), "residual": res, "compile_s": round(compile_s, 1)}
 
-    res = float(check(l, jnp.float32(iters * 1e-3)))
-    log(f"Performance: {gflops:.2f} Gflop/s")
-    log(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
+    results: dict[str, dict] = {}
+    for i, prec in enumerate(tiers):
+        prec = prec.strip()
+        elapsed = time.perf_counter() - t_start
+        if i > 0 and results:
+            # each further tier costs roughly one compile + iters; skip if the
+            # remaining budget cannot absorb it (the headline has priority)
+            est = max(r["compile_s"] for r in results.values()) + 10
+            if elapsed + est > budget_s:
+                log(f"[{prec}] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
+                continue
+        results[prec] = run_tier(prec)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"POTRF fp32 N={n} NB={nb} single-chip",
-                "value": round(gflops, 1),
-                "unit": "GFLOP/s",
-                "vs_baseline": round(gflops / BASELINE_GFLOPS, 2),
-                "residual": res,
-            }
-        )
-    )
+    head = results.get("highest") or next(iter(results.values()))
+    out = {
+        "metric": f"POTRF fp32(highest) N={n} NB={nb} single-chip",
+        "value": head["gflops"],
+        "unit": "GFLOP/s",
+        "vs_baseline": round(head["gflops"] / BASELINE_GFLOPS, 2),
+        "residual": head["residual"],
+        "tiers": {
+            p: {"gflops": r["gflops"], "residual": r["residual"]}
+            for p, r in results.items()
+        },
+        "config": {"panel": panel, "trailing": trailing, "tb": tb, "kb": kb,
+                   "alias": alias, "diag_factor": diag},
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,8 @@ from dla_tpu.ops import (  # noqa: F401
     lacpy,
     lange,
     lauum,
+    plghe,
+    plghe_tile,
     plgsy,
     plgsy_tile,
     potrf_unblocked,

@@ -40,7 +40,11 @@ from jax import lax
 from dla_tpu.ops import gemm, potrf_unblocked, trsm
 from dla_tpu.utils import precision as _precision
 
-DiagFactor = Literal["lax", "unblocked"]
+DiagFactor = Literal["lax", "unblocked", "twolevel"]
+
+
+def _isc(a) -> bool:
+    return jnp.iscomplexobj(a)
 
 
 def _auto_tb(nb: int, dtype, budget_bytes: int = 10 * 2**20) -> int:
@@ -66,10 +70,43 @@ def _auto_tb(nb: int, dtype, budget_bytes: int = 10 * 2**20) -> int:
 def _chol_tile(d: jax.Array, diag_factor: DiagFactor) -> jax.Array:
     if diag_factor == "unblocked":
         return potrf_unblocked(d)
+    if diag_factor == "twolevel":
+        return _chol_twolevel(d)
     # symmetrize_input=False: tiles arrive lower-triangle-only (the upper
     # half is zeros by construction); the default symmetrization would
     # silently halve the off-diagonal entries.
     return lax.linalg.cholesky(d, symmetrize_input=False)
+
+
+def _chol_twolevel(d: jax.Array, ib: int = 512) -> jax.Array:
+    """Blocked right-looking factor of one diagonal block with ib-wide inner
+    panels: lax cholesky at the ib leaves, everything else inverse-GEMM +
+    trailing GEMM on the MXU. ~45× faster than ``lax.linalg.cholesky`` on a
+    4096² fp32 tile at default precision on v5e (0.4 ms vs 20 ms,
+    ``results/micro3_r2.jsonl``) — XLA's own blocked Cholesky loops batched
+    128-wide steps that never fill the MXU."""
+    n = d.shape[-1]
+    if n <= ib:
+        return lax.linalg.cholesky(d, symmetrize_input=False)
+    cj = _isc(d)
+    out = jnp.zeros_like(d)
+    t = d
+    eye = jnp.eye(ib, dtype=d.dtype)
+    for off in range(0, n, ib):
+        w = min(ib, n - off)
+        lkk = jnp.tril(lax.linalg.cholesky(t[:w, :w], symmetrize_input=False))
+        if off + w < n:
+            linv = trsm(1.0, lkk, eye[:w, :w], side="L", transa=False)
+            lp = gemm(
+                1.0, t[w:, :w], linv, 0.0,
+                jnp.zeros((n - off - w, w), d.dtype), transb=True, conjb=cj,
+            )
+            strip = jnp.concatenate([lkk, lp], axis=0)
+            t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True, conjb=cj)
+        else:
+            strip = lkk
+        out = lax.dynamic_update_slice(out, strip, (off, off))
+    return out
 
 
 @functools.partial(
@@ -134,9 +171,9 @@ def _potrf_blocked_body(a, n, nb, update_cols, diag_factor, panel, trailing):
             out = out.at[off : off + w, off : off + w].set(lkk)
             if t0 >= n:
                 break
-            # Panel solve: L[t0:, k] = A[t0:, k] @ inv(L_kk)^T
+            # Panel solve: L[t0:, k] = A[t0:, k] @ inv(L_kk)^T (^H for c/z)
             pb = out[t0:, off : off + w]
-            lp = trsm(1.0, lkk, pb, side="R", uplo="L", transa=True)
+            lp = trsm(1.0, lkk, pb, side="R", uplo="L", transa=True, conja=_isc(a))
             out = out.at[t0:, off : off + w].set(lp)
         if t0 >= n:
             break
@@ -154,7 +191,8 @@ def _potrf_blocked_body(a, n, nb, update_cols, diag_factor, panel, trailing):
                 rows = lp[c0 - t0 :, :]
                 cols = lp[c0 - t0 : c0 - t0 + cw, :]
                 out = out.at[c0:, c0 : c0 + cw].set(
-                    gemm(-1.0, rows, cols, 1.0, out[c0:, c0 : c0 + cw], transb=True)
+                    gemm(-1.0, rows, cols, 1.0, out[c0:, c0 : c0 + cw],
+                         transb=True, conjb=_isc(a))
                 )
     return jnp.tril(out)
 
@@ -181,13 +219,13 @@ def potrf_masked(
         panel = lax.dynamic_slice(acc, (0, off), (n, nb))
         diag = lax.dynamic_slice(panel, (off, jnp.zeros_like(off)), (nb, nb))
         lkk = jnp.tril(_chol_tile(diag, diag_factor))
-        sol = trsm(1.0, lkk, panel, side="R", uplo="L", transa=True)
+        sol = trsm(1.0, lkk, panel, side="R", uplo="L", transa=True, conja=_isc(a))
         below = rows >= off + nb
         newpanel = jnp.where(below, sol, jnp.zeros((), acc.dtype))
         newpanel = lax.dynamic_update_slice(newpanel, lkk, (off, 0))
         acc = lax.dynamic_update_slice(acc, newpanel, (0, off))
         lp = jnp.where(below, newpanel, jnp.zeros((), acc.dtype))
-        acc = gemm(-1.0, lp, lp, 1.0, acc, transb=True)
+        acc = gemm(-1.0, lp, lp, 1.0, acc, transb=True, conjb=_isc(a))
         return acc
 
     out = lax.fori_loop(0, ntiles, body, jnp.tril(a))
@@ -201,6 +239,7 @@ def _blocktrsm_panel(lkk, b, *, ib: int = 512):
     (measured 17.4 ms vs 33.5 ms at 24576×4096 fp32-highest on v5e,
     ``results/micro_r2.jsonl``)."""
     w = lkk.shape[0]
+    cj = _isc(lkk)  # Hermitian (c/z) solve: X·Lᴴ = B
     ib = min(ib, w)
     eye = jnp.eye(ib, dtype=lkk.dtype)
     x = jnp.zeros_like(b)
@@ -208,9 +247,9 @@ def _blocktrsm_panel(lkk, b, *, ib: int = 512):
         dinv = trsm(1.0, lkk[off : off + ib, off : off + ib], eye, side="L", transa=False)
         rhs = b[:, off : off + ib]
         if off:
-            rhs = gemm(-1.0, x[:, :off], lkk[off : off + ib, :off], 1.0, rhs, transb=True)
+            rhs = gemm(-1.0, x[:, :off], lkk[off : off + ib, :off], 1.0, rhs, transb=True, conjb=cj)
         x = x.at[:, off : off + ib].set(
-            gemm(1.0, rhs, dinv, 0.0, jnp.zeros_like(rhs), transb=True)
+            gemm(1.0, rhs, dinv, 0.0, jnp.zeros_like(rhs), transb=True, conjb=cj)
         )
     return x
 
@@ -218,7 +257,8 @@ def _blocktrsm_panel(lkk, b, *, ib: int = 512):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nb", "update_cols", "diag_factor", "panel", "trailing", "tb", "precision",
+        "nb", "update_cols", "diag_factor", "panel", "trailing", "tb", "kb",
+        "trailing_alias", "precision",
     ),
 )
 def potrf_shrink(
@@ -230,6 +270,8 @@ def potrf_shrink(
     panel: Literal["xla", "pallas", "invgemm", "blocktrsm"] = "xla",
     trailing: Literal["xla", "pallas"] = "xla",
     tb: int | None = None,
+    kb: int | None = None,
+    trailing_alias: bool = True,
     precision: str | None = None,
 ) -> jax.Array:
     """Right-looking Cholesky on a *shrinking* trailing matrix — the
@@ -250,12 +292,15 @@ def potrf_shrink(
     if (panel == "pallas" or trailing == "pallas") and n % nb:
         raise ValueError(f"pallas paths require n % nb == 0, got {n} % {nb}")
     with _precision.override(precision):
+        cj = _isc(a)
         t = jnp.tril(a)
         if trailing != "pallas":
-            # the full-square XLA trailing GEMM needs a symmetric trailing
-            # block; the pallas path updates only the lower trapezoid and
-            # never reads the upper triangle, so plain tril suffices there.
-            t = t + jnp.tril(t, -1).swapaxes(-1, -2)
+            # the full-square XLA trailing GEMM needs a symmetric (Hermitian
+            # for c/z) trailing block; the pallas path updates only the lower
+            # trapezoid and never reads the upper triangle, so plain tril
+            # suffices there.
+            refl = jnp.tril(t, -1).swapaxes(-1, -2)
+            t = t + (jnp.conj(refl) if cj else refl)
         # finished column strips land in a preallocated output (one
         # dynamic-update-slice per panel — Nb of them is compile-cheap, unlike
         # the per-op DUS chains of potrf_blocked) so peak memory is
@@ -274,7 +319,7 @@ def potrf_shrink(
                 # then the tall panel solve is a plain MXU GEMM.
                 lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
                 linv = trsm(1.0, lkk, jnp.eye(w, dtype=a.dtype), side="L", transa=False)
-                lp = gemm(1.0, t[w:, :w], linv, 0.0, jnp.zeros((m - w, w), a.dtype), transb=True)
+                lp = gemm(1.0, t[w:, :w], linv, 0.0, jnp.zeros((m - w, w), a.dtype), transb=True, conjb=cj)
                 strip = jnp.concatenate([lkk, lp], axis=0)
             elif panel == "blocktrsm" and m > w:
                 lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
@@ -283,7 +328,7 @@ def potrf_shrink(
             else:
                 lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
                 if m > w:
-                    lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True)
+                    lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True, conja=cj)
                     strip = jnp.concatenate([lkk, lp], axis=0)  # (m, w)
                 else:
                     lp = None
@@ -293,11 +338,17 @@ def potrf_shrink(
                 if trailing == "pallas":
                     from dla_tpu.kernels.pallas_tiles import trailing_update_lower
 
+                    # alias=False leaves the unvisited upper-triangle tiles
+                    # undefined — safe here: every later read of the trailing
+                    # square (diag block, panel column, lower pairs) touches
+                    # only lower-triangle tiles.
                     t = trailing_update_lower(
-                        t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype), alias=True
+                        t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype), kb=kb,
+                        alias=trailing_alias,
+                        vmem_limit_bytes=100 * 2**20,
                     )
                 else:
-                    t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True)
+                    t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True, conjb=cj)
         return jnp.tril(out)
 
 
@@ -306,13 +357,28 @@ def potrf(
     *,
     nb: int = 256,
     mode: Literal["blocked", "masked", "shrink"] = "blocked",
+    uplo: str = "L",
     **kw,
 ) -> jax.Array:
-    """Factor an SPD matrix: A = L·L^T, returning lower-triangular L.
+    """Factor an SPD/HPD matrix: A = L·L^T (L·L^H for c/z), returning the
+    ``uplo`` triangle of the factor.
 
-    The top-level entry mirroring ``CHAMELEON_dpotrf_Tile(ChamLower, descA)``
-    (``v6_test.c:57``). ``nb`` plays the role of the descriptor tile size.
+    The top-level entry mirroring ``CHAMELEON_dpotrf_Tile(uplo, descA)``
+    (``v6_test.c:57``; uplo map L/U at ``v3_script_cholesky_x_arg_gpt.c:
+    35-42``). ``nb`` plays the role of the descriptor tile size.
+
+    ``uplo='U'``: the meaningful data of ``a`` is its *upper* triangle
+    (A = UᴴU); implemented as the lower factorization of the reflected
+    matrix — two transposes around the same kernel path, no second
+    algorithm to maintain.
     """
+    u = uplo.upper()
+    if u == "U":
+        al = jnp.conj(jnp.triu(a)).swapaxes(-1, -2)
+        l = potrf(al, nb=nb, mode=mode, uplo="L", **kw)
+        return jnp.conj(l).swapaxes(-1, -2)
+    if u != "L":
+        raise ValueError(f"uplo must be 'L' or 'U', got {uplo!r}")
     if mode == "blocked":
         return potrf_blocked(a, nb=nb, **kw)
     if mode == "shrink":

@@ -34,8 +34,9 @@ def potrs(l: jax.Array, b: jax.Array) -> jax.Array:
     rebuild's north star (BASELINE.json)."""
     vec = b.ndim == 1
     bb = b[:, None] if vec else b
+    cj = jnp.iscomplexobj(l)
     y = trsm(1.0, l, bb, side="L", uplo="L", transa=False)
-    x = trsm(1.0, l, y, side="L", uplo="L", transa=True)
+    x = trsm(1.0, l, y, side="L", uplo="L", transa=True, conja=cj)
     return x[:, 0] if vec else x
 
 

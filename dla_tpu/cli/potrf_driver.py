@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -41,9 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--dtype",
         default=None,
-        help="d|float64, s|float32, h|bfloat16 (reference dtype-map parity)",
+        help="d|float64, s|float32, h|bfloat16, z|complex128, c|complex64 "
+        "(the reference's full dtype map, v3_script_cholesky_x_arg_gpt.c:25-33)",
     )
-    ap.add_argument("--uplo", default=None, help="L (lower) — only L supported")
+    ap.add_argument(
+        "--uplo", default=None,
+        help="L (lower, A=LL^H) or U (upper, A=U^H U) — reference uplo map "
+        "(v3_…:35-42; its third mode B is a generator fill mode, not a "
+        "factorization side)",
+    )
     ap.add_argument(
         "--bump", type=float, default=None, help="diagonal bump (default: N)"
     )
@@ -56,12 +63,40 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
     )
     ap.add_argument(
-        "--panel", choices=["xla", "pallas", "invgemm"], default="xla",
+        "--panel", choices=["xla", "pallas", "invgemm", "blocktrsm"],
+        default="xla",
         help="panel-factor backend (blocked/shrink modes)",
     )
     ap.add_argument(
         "--trailing", choices=["xla", "pallas"], default="xla",
         help="trailing-update backend (blocked/shrink modes)",
+    )
+    ap.add_argument(
+        "--diag", choices=["lax", "unblocked", "twolevel"], default="lax",
+        help="diagonal-block factor backend (blocked/shrink modes)",
+    )
+    ap.add_argument(
+        "--precision", choices=["default", "high", "highest"], default=None,
+        help="matmul precision tier for this run (default: library policy)",
+    )
+    ap.add_argument(
+        "--checked", action="store_true",
+        help="run the checkified factorization: non-SPD input raises a "
+        "functional error with a message instead of silent NaNs (the "
+        "reference worker's info!=0 surfacing, worker_distrib.cpp:243-244)",
+    )
+    ap.add_argument(
+        "--lm", type=int, default=None,
+        help="global (allocated) matrix dimension; with --ioff/--joff/--m, "
+        "factor a tile-aligned principal submatrix view — the descriptor "
+        "surface of Desc_Create(lm, ln, ioff, joff, m, n) "
+        "(v6_test.c:44-45, validated like v3_…:177-196)",
+    )
+    ap.add_argument("--ioff", type=int, default=0, help="view row offset (elements)")
+    ap.add_argument("--joff", type=int, default=0, help="view col offset (elements)")
+    ap.add_argument(
+        "--m", type=int, default=None, dest="view_m",
+        help="view dimension (default: lm - ioff)",
     )
     ap.add_argument(
         "--gen",
@@ -115,7 +150,7 @@ def main(argv=None) -> int:
             from jax.extend.backend import clear_backends
 
             clear_backends()
-    if args.x64 or (args.dtype or "").lower() in ("d", "float64"):
+    if args.x64 or (args.dtype or "").lower() in ("d", "float64", "z", "complex128"):
         jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
@@ -147,9 +182,30 @@ def main(argv=None) -> int:
         flush=True,
     )
 
-    from dla_tpu.ops import plgsy, spd_gershgorin
+    from dla_tpu.ops import plghe, plghe_tile, plgsy, plgsy_tile, spd_gershgorin
     from dla_tpu.utils.flops import gflops, potrf_flops
     from dla_tpu.validate import residual_potrf
+
+    is_complex = jnp.dtype(dtype).kind == "c"
+
+    view = None
+    if args.lm is not None:
+        from dla_tpu.tiles import TileLayout
+
+        # descriptor-validated submatrix view (tile-aligned, in-bounds);
+        # POTRF additionally requires a *principal* submatrix (ioff == joff)
+        # — an off-diagonal view of an SPD matrix is not SPD.
+        view = TileLayout(
+            mb=cfg.nb, nb=cfg.nb, lm=args.lm, ln=args.lm,
+            ioff=args.ioff, joff=args.joff,
+            m=args.view_m, n=args.view_m,
+        )
+        if view.ioff != view.joff or view.m != view.n:
+            print("[dla-potrf] POTRF view must be principal (ioff==joff, m==n)")
+            return 2
+        if view.m != cfg.n:
+            cfg = dataclasses.replace(cfg, n=view.m)
+        print(f"[dla-potrf] {view.describe()}", flush=True)
 
     if args.input:
         if args.input.endswith(".npy"):
@@ -164,11 +220,26 @@ def main(argv=None) -> int:
             )
             return 2
         a = jnp.asarray(host.reshape(cfg.n, cfg.n).astype(dtype))
+    elif view is not None:
+        # generate only the view's tiles (tile-local determinism — the whole
+        # point of the plgsy generator; the lm×lm matrix is never built)
+        gen_tile = plghe_tile if is_complex else plgsy_tile
+        i0, j0 = view.tile_origin(0, 0)
+        a = jax.jit(
+            lambda: gen_tile(
+                cfg.seed, i0, j0, view.m, view.n, bump=bump, dtype=dtype
+            )
+        )()
     elif cfg.gen == "gershgorin":
         a = spd_gershgorin(cfg.n, seed=cfg.seed, dtype=dtype)
+    elif is_complex:
+        a = plghe(cfg.n, bump=bump, seed=cfg.seed, dtype=dtype)
     else:
         a = plgsy(cfg.n, bump=bump, seed=cfg.seed, dtype=dtype)
     a = jax.block_until_ready(a)
+    if cfg.uplo == "U":
+        # present the matrix through its upper triangle (A = U^H U surface)
+        a = jnp.conj(jnp.tril(a)).swapaxes(-1, -2) if not args.input else a
 
     if cfg.mode == "distributed":
         from dla_tpu.parallel import (
@@ -187,16 +258,32 @@ def main(argv=None) -> int:
             lx = potrf_block_cyclic(x, layout, mesh)
             return jnp.asarray(np.tril(to_dense(lx, layout)))
 
+    elif args.checked:
+        from dla_tpu.validate.checked import potrf_checked
+
+        def run():
+            err, l = potrf_checked(a, nb=cfg.nb)
+            msg = err.get()
+            if msg:
+                print(f"[dla-potrf] CHECK FAILED: {msg}", flush=True)
+                sys.exit(3)
+            _ = float(jnp.real(l[cfg.n - 1, cfg.n - 1]))
+            return l
+
     else:
         from dla_tpu.algos import potrf
 
         kw = {}
         if cfg.mode in ("blocked", "shrink"):
-            kw = {"panel": args.panel, "trailing": args.trailing}
+            kw = {"panel": args.panel, "trailing": args.trailing,
+                  "diag_factor": args.diag}
+            if args.precision:
+                kw["precision"] = args.precision
 
         def run():
-            l = potrf(a, nb=cfg.nb, mode=cfg.mode, **kw)
-            _ = float(l[cfg.n - 1, cfg.n - 1])  # force completion (remote TPU)
+            l = potrf(a, nb=cfg.nb, mode=cfg.mode, uplo=cfg.uplo, **kw)
+            # force completion (remote TPU); real() for c/z dtypes
+            _ = float(jnp.real(l[cfg.n - 1, cfg.n - 1]))
             return l
 
     run()  # warm-up / compile (the reference's calibration repeat analogue)
@@ -216,19 +303,27 @@ def main(argv=None) -> int:
         # simultaneously and OOMs HBM at large N; under jit XLA frees
         # intermediates. Generated matrices are fully symmetric, so the
         # symmetrize copy is skipped too.
+        av, lv = a, l
+        if cfg.uplo == "U":
+            # validate through the lower-triangle contract: L = U^H. The
+            # reflected matrix is lower-only, so it must be re-symmetrized
+            # inside the validator (assume_symmetric would read zero uppers).
+            av = jnp.conj(jnp.triu(a)).swapaxes(-1, -2)
+            lv = jnp.conj(l).swapaxes(-1, -2)
         res = float(
             jax.jit(
                 functools.partial(
-                    residual_potrf, assume_symmetric=not args.input
+                    residual_potrf,
+                    assume_symmetric=not args.input and cfg.uplo != "U",
                 )
-            )(a, l)
+            )(av, lv)
         )
         print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
         if args.gate is not None:
             gate = args.gate
-        elif jnp.dtype(cfg.dtype) == jnp.float64:
+        elif jnp.dtype(cfg.dtype) in (jnp.float64, jnp.complex128):
             gate = 1e-10  # the reference's gate (v6_test.c:87) — met, in fp64
-        elif jnp.dtype(cfg.dtype) == jnp.float32:
+        elif jnp.dtype(cfg.dtype) in (jnp.float32, jnp.complex64):
             gate = max(1e-10, cfg.n * 2e-7)
         else:
             gate = max(1e-10, cfg.n * 2e-2)

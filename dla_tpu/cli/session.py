@@ -32,7 +32,7 @@ import time
 
 def dag_counts(nt: int) -> dict[str, int]:
     """Task counts of the right-looking DAG at Nb=nt tiles (the reference's
-    N=12,B=4 demo is 3×3 tiles → 14 tasks)."""
+    N=12,B=4 demo is 3×3 tiles → 10 tasks)."""
     potrf = nt
     trsm = nt * (nt - 1) // 2
     syrk = nt * (nt - 1) // 2

@@ -51,6 +51,37 @@ def _pet(dtype):
     return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16, jnp.float32) else dtype
 
 
+def _kernel_precision() -> str:
+    """Mosaic supports DEFAULT and HIGHEST dot precisions but not HIGH; the
+    scalar-column rank-1 dots inside the factor/inverse loops are a rounding
+    error of the tile cost, so 'high' simply promotes them to 'highest'."""
+    p = matmul_precision()
+    return "highest" if p == "high" else p
+
+
+def _dot_nt(a: jax.Array, b: jax.Array) -> jax.Array:
+    """``a @ b.T`` on the MXU honoring the library precision policy, fp32
+    accumulation. At ``high`` Mosaic has no native mode, so the 3-pass
+    bf16x3 product is emitted explicitly: x = hi(x) + lo(x) in bf16,
+    a·bᵀ ≈ ahi·bhiᵀ + ahi·bloᵀ + alo·bhiᵀ (the dropped alo·bloᵀ term is
+    ~2⁻³² relative) — the scheme XLA itself uses for HIGH on fp32, at
+    ~3× the default-pass throughput cost instead of highest's ~6×."""
+    pet = _pet(a.dtype)
+    dims = (((1,), (1,)), ((), ()))
+    p = matmul_precision()
+    if p == "high" and a.dtype == jnp.float32:
+        ahi = a.astype(jnp.bfloat16)
+        alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bhi = b.astype(jnp.bfloat16)
+        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def t(x, y):
+            return lax.dot_general(x, y, dims, preferred_element_type=jnp.float32)
+
+        return t(ahi, bhi) + (t(ahi, blo) + t(alo, bhi))
+    return lax.dot_general(a, b, dims, preferred_element_type=pet, precision=p)
+
+
 def _rows_cols(n: int):
     rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -81,7 +112,7 @@ def _factor_lower(a: jax.Array) -> jax.Array:
         newcol = jnp.where(rvec == j, piv, colj)
         acc = jnp.where(colmask, newcol, acc)
         outer = lax.dot_general(
-            colj, colj, (((1,), (1,)), ((), ())), preferred_element_type=pet, precision=matmul_precision()
+            colj, colj, (((1,), (1,)), ((), ())), preferred_element_type=pet, precision=_kernel_precision()
         ).astype(a.dtype)
         return acc - outer
 
@@ -112,7 +143,7 @@ def _invert_lower(l: jax.Array) -> jax.Array:
             zero,
         )
         outer = lax.dot_general(
-            colj, xrow, (((1,), (0,)), ((), ())), preferred_element_type=pet, precision=matmul_precision()
+            colj, xrow, (((1,), (0,)), ((), ())), preferred_element_type=pet, precision=_kernel_precision()
         ).astype(l.dtype)
         return x - outer
 
@@ -151,9 +182,7 @@ def potrf_tile(a: jax.Array, *, interpret: bool | None = None):
 
 
 def _trsm_kernel(linv_ref, b_ref, out_ref):
-    out_ref[:] = jnp.dot(
-        b_ref[:], linv_ref[:].T, preferred_element_type=_pet(out_ref.dtype), precision=matmul_precision()
-    ).astype(out_ref.dtype)
+    out_ref[:] = _dot_nt(b_ref[:], linv_ref[:]).astype(out_ref.dtype)
 
 
 def trsm_tile(linv: jax.Array, b: jax.Array, *, interpret: bool | None = None):
@@ -176,9 +205,7 @@ def trsm_tile(linv: jax.Array, b: jax.Array, *, interpret: bool | None = None):
 def _syrk_kernel(c_ref, a_ref, out_ref):
     n = c_ref.shape[0]
     rows, cols = _rows_cols(n)
-    upd = c_ref[:] - jnp.dot(
-        a_ref[:], a_ref[:].T, preferred_element_type=_pet(c_ref.dtype), precision=matmul_precision()
-    ).astype(c_ref.dtype)
+    upd = c_ref[:] - _dot_nt(a_ref[:], a_ref[:]).astype(c_ref.dtype)
     out_ref[:] = jnp.where(rows >= cols, upd, c_ref[:])
 
 
@@ -199,9 +226,7 @@ def syrk_tile(c: jax.Array, a: jax.Array, *, interpret: bool | None = None):
 
 
 def _gemm_kernel(c_ref, ai_ref, aj_ref, out_ref):
-    out_ref[:] = c_ref[:] - jnp.dot(
-        ai_ref[:], aj_ref[:].T, preferred_element_type=_pet(c_ref.dtype), precision=matmul_precision()
-    ).astype(c_ref.dtype)
+    out_ref[:] = c_ref[:] - _dot_nt(ai_ref[:], aj_ref[:]).astype(c_ref.dtype)
 
 
 def gemm_tile(c: jax.Array, ai: jax.Array, aj: jax.Array, *, interpret: bool | None = None):
@@ -233,9 +258,7 @@ def _panel_kernel(p_ref, out_ref, linv_ref):
 
     @pl.when(i > 0)
     def _():
-        out_ref[:] = jnp.dot(
-            p_ref[:], linv_ref[:].T, preferred_element_type=_pet(out_ref.dtype), precision=matmul_precision()
-        ).astype(out_ref.dtype)
+        out_ref[:] = _dot_nt(p_ref[:], linv_ref[:]).astype(out_ref.dtype)
 
 
 def panel_factor(panel: jax.Array, *, interpret: bool | None = None) -> jax.Array:
@@ -276,12 +299,7 @@ def panel_factor(panel: jax.Array, *, interpret: bool | None = None) -> jax.Arra
 def _trailing_kernel(i_ref, j_ref, c_ref, pi_ref, pj_ref, out_ref):
     del i_ref, j_ref  # consumed by the index maps
     ks = pl.program_id(1)
-    upd = jnp.dot(
-        pi_ref[:],
-        pj_ref[:].T,
-        preferred_element_type=_pet(c_ref.dtype),
-        precision=matmul_precision(),
-    ).astype(c_ref.dtype)
+    upd = _dot_nt(pi_ref[:], pj_ref[:]).astype(c_ref.dtype)
 
     @pl.when(ks == 0)
     def _():

@@ -12,6 +12,8 @@ from dla_tpu.ops.lapack_like import (  # noqa: F401
     lange,
     lauum,
     plgsy,
+    plghe,
+    plghe_tile,
     plgsy_tile,
     potrf_unblocked,
     spd_gershgorin,

@@ -33,12 +33,21 @@ def _acc_dtype(dtype):
     return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
 
 
-def gemm(alpha, a, b, beta, c, *, transa: bool = False, transb: bool = False):
-    """C ← alpha·op(A)·op(B) + beta·C. Batched over leading dims."""
+def gemm(alpha, a, b, beta, c, *, transa: bool = False, transb: bool = False,
+         conja: bool = False, conjb: bool = False):
+    """C ← alpha·op(A)·op(B) + beta·C. Batched over leading dims.
+    ``conja``/``conjb`` conjugate the operand (op = conjugate-transpose when
+    combined with trans — the Hermitian ``A·Aᴴ`` updates of c/z POTRF)."""
     acc = _acc_dtype(c.dtype)
+    opa = _op(a, transa)
+    opb = _op(b, transb)
+    if conja:
+        opa = jnp.conj(opa)
+    if conjb:
+        opb = jnp.conj(opb)
     prod = jnp.matmul(
-        _op(a, transa),
-        _op(b, transb),
+        opa,
+        opb,
         preferred_element_type=acc,
         precision=matmul_precision(),
     )
@@ -66,7 +75,7 @@ def syrk(alpha, a, beta, c, *, uplo: str = "L", trans: bool = False):
     return jnp.where(mask, full, c)
 
 
-def trsm(alpha, a, b, *, side: str = "R", uplo: str = "L", transa: bool = True, unit_diag: bool = False):
+def trsm(alpha, a, b, *, side: str = "R", uplo: str = "L", transa: bool = True, unit_diag: bool = False, conja: bool = False):
     """Triangular solve: overwrites B with alpha·B·inv(op(A)) (side='R') or
     alpha·inv(op(A))·B (side='L'). Defaults match the reference's panel solve
     ``dtrsm_Tile(Right, Lower, Trans, NonUnit, 1.0, L, A)``
@@ -82,6 +91,7 @@ def trsm(alpha, a, b, *, side: str = "R", uplo: str = "L", transa: bool = True, 
         left_side=left,
         lower=lower,
         transpose_a=transa,
+        conjugate_a=conja,
         unit_diagonal=unit_diag,
     )
     if alpha != 1:

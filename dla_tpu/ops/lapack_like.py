@@ -111,6 +111,44 @@ def plgsy(n: int, *, bump: float | None = None, seed: int = 51, dtype=jnp.float3
     return plgsy_tile(seed, 0, 0, n, n, bump=bump, dtype=dtype)
 
 
+def plghe_tile(
+    seed,
+    i0,
+    j0,
+    mb: int,
+    nb: int,
+    *,
+    bump: float = 0.0,
+    dtype=jnp.complex64,
+) -> jax.Array:
+    """Hermitian analogue of :func:`plgsy_tile` — the c/z dtype surface of
+    the reference's named-args driver (``v3_script_cholesky_x_arg_gpt.c:
+    25-33`` maps z/c → ChamComplexDouble/ChamComplexSingle). Real part is
+    symmetric-by-pair, imaginary part antisymmetric (zero diagonal), so the
+    global matrix is exactly Hermitian and tile-local deterministic."""
+    seed = jnp.asarray(seed)
+    rdtype = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 else jnp.float32
+    gi = jnp.asarray(i0, jnp.int32) + jnp.arange(mb, dtype=jnp.int32)
+    gj = jnp.asarray(j0, jnp.int32) + jnp.arange(nb, dtype=jnp.int32)
+    rows = gi[:, None]
+    cols = gj[None, :]
+    re = _pair_uniform(seed, rows, cols).astype(rdtype)
+    im = _pair_uniform(seed ^ jnp.uint32(0xA5A5A5A5), rows, cols).astype(rdtype)
+    sign = jnp.sign(cols - rows).astype(rdtype)  # antisymmetric, 0 on diag
+    if bump:
+        re = re + jnp.where(rows == cols, jnp.asarray(bump, rdtype), jnp.asarray(0, rdtype))
+    return (re + 1j * (sign * im)).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("bump", "dtype"))
+def plghe(n: int, *, bump: float | None = None, seed: int = 51, dtype=jnp.complex64) -> jax.Array:
+    """Full n×n seeded Hermitian positive-definite matrix (diagonal bump =
+    n by default — HPD by diagonal dominance), ↔ ``CHAMELEON_zplghe_Tile``."""
+    if bump is None:
+        bump = float(n)
+    return plghe_tile(seed, 0, 0, n, n, bump=bump, dtype=dtype)
+
+
 @functools.partial(
     jax.jit, static_argnums=(0,), static_argnames=("bump", "eps", "dtype")
 )

@@ -37,9 +37,13 @@ class RunConfig:
         "d": "float64",
         "s": "float32",
         "h": "bfloat16",
+        "z": "complex128",  # reference dtype map d/s/z/c
+        "c": "complex64",   # (v3_script_cholesky_x_arg_gpt.c:25-33)
         "float64": "float64",
         "float32": "float32",
         "bfloat16": "bfloat16",
+        "complex128": "complex128",
+        "complex64": "complex64",
     }
 
     def __post_init__(self):
@@ -50,8 +54,12 @@ class RunConfig:
                 f"{sorted(self.DTYPE_ALIASES)}"
             )
         self.dtype = self.DTYPE_ALIASES[key]
-        if self.uplo.upper() not in ("L",):
-            raise ValueError("only uplo='L' is supported (lower Cholesky)")
+        self.uplo = self.uplo.upper()
+        if self.uplo not in ("L", "U"):
+            raise ValueError(
+                "uplo must be 'L' or 'U' (the reference's third mode 'B' is "
+                "a descriptor fill mode, not a factorization side)"
+            )
         if self.n <= 0 or self.nb <= 0:
             raise ValueError("n and nb must be positive")
         if self.p <= 0 or self.q <= 0:

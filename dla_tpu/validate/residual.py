@@ -30,7 +30,8 @@ PASS_THRESHOLD = 1e-10
 
 def _symmetrize_lower(a: jax.Array) -> jax.Array:
     low = jnp.tril(a)
-    return low + jnp.tril(a, -1).T
+    refl = jnp.tril(a, -1).swapaxes(-1, -2)
+    return low + (jnp.conj(refl) if jnp.iscomplexobj(a) else refl)
 
 
 def residual_potrf(a: jax.Array, l: jax.Array, *, norm: str = "I", assume_symmetric: bool = False) -> jax.Array:
@@ -43,13 +44,16 @@ def residual_potrf(a: jax.Array, l: jax.Array, *, norm: str = "I", assume_symmet
     (f64 under x64) regardless of input dtype so the residual measurement
     itself doesn't limit the gate.
     """
-    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if jnp.iscomplexobj(a):
+        wide = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    else:
+        wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     aa = a.astype(wide) if assume_symmetric else _symmetrize_lower(a.astype(wide))
     ll = jnp.tril(l).astype(wide)
     # precision pinned: the validator's own reconstruction must not run at
     # the TPU's default bf16 matmul precision, or the measurement floor
     # (~1e-3 at large N) masks the factor's actual quality
-    rec = jnp.matmul(ll, ll.T, preferred_element_type=wide, precision="highest")
+    rec = jnp.matmul(ll, jnp.conj(ll).swapaxes(-1, -2), preferred_element_type=wide, precision="highest")
     num = lange(norm, aa - rec)
     den = lange(norm, aa)
     return num / den

@@ -69,8 +69,9 @@ class TestFlops:
 
 class TestDagCounts:
     def test_reference_demo_size(self):
-        """The reference's N=12,B=4 demo is 3x3 tiles -> 14 tasks
-        (client wave loop, client_distrib.cpp:506-565)."""
+        """The reference's N=12,B=4 demo is 3x3 tiles -> 10 tasks
+        (client wave loop, client_distrib.cpp:506-565: 3 POTRF + 3 TRSM +
+        3 SYRK + 1 GEMM)."""
         c = dag_counts(3)
         assert c == {"POTRF": 3, "TRSM": 3, "SYRK": 3, "GEMM": 1, "total": 10}
 
