@@ -38,18 +38,21 @@ from jax import lax
 # Seeded symmetric generation (plgsy)
 # ---------------------------------------------------------------------------
 
-_M1 = jnp.uint32(0x85EBCA6B)
-_M2 = jnp.uint32(0xC2B2AE35)
-_C1 = jnp.uint32(0x9E3779B9)  # golden-ratio increment (splitmix)
-_C2 = jnp.uint32(0x7F4A7C15)
+# plain ints, converted at trace time — module-level jnp constants would
+# force backend initialization at import, before callers can pick a platform
+# (fatal for multi-process jobs that must configure jax.distributed first)
+_M1 = 0x85EBCA6B
+_M2 = 0xC2B2AE35
+_C1 = 0x9E3779B9  # golden-ratio increment (splitmix)
+_C2 = 0x7F4A7C15
 
 
 def _mix32(x: jax.Array) -> jax.Array:
     """murmur3 fmix32 — a full-avalanche uint32 mixer (runs on the VPU)."""
     x = x ^ (x >> 16)
-    x = x * _M1
+    x = x * jnp.uint32(_M1)
     x = x ^ (x >> 13)
-    x = x * _M2
+    x = x * jnp.uint32(_M2)
     x = x ^ (x >> 16)
     return x
 

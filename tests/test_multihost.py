@@ -1,0 +1,50 @@
+"""Multi-host capability proof: 2 processes × 4 CPU devices, one shard_map
+POTRF program spanning both, validated to the reference's 1e-10 fp64 gate
+(capability parity with the genuinely inter-node ArmoniK L4 —
+``client_distrib.cpp:325-353`` / ``worker_distrib.cpp:579-594``)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_block_cyclic_potrf():
+    port = _free_port()
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # no TPU plugin in the children
+    env.pop("XLA_FLAGS", None)  # children set their own device count
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "dla_tpu.parallel.multihost",
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--nproc", "2", "--pid", str(pid),
+                    "--local-devices", "4",
+                    "--n", "64", "--nb", "8", "--p", "2", "--q", "4",
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    assert procs[0].returncode == 0, outs[0]
+    assert procs[1].returncode == 0, outs[1]
+    assert "2 processes, 8 global devices" in outs[0]
+    assert "PASS" in outs[0], outs[0]
