@@ -67,8 +67,8 @@ def _pair_uniform(seed: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:
     """
     lo = jnp.minimum(i, j).astype(jnp.uint32)
     hi = jnp.maximum(i, j).astype(jnp.uint32)
-    h = _mix32(hi * _C2 ^ seed.astype(jnp.uint32))
-    h = _mix32(lo * _C1 ^ h)
+    h = _mix32(hi * jnp.uint32(_C2) ^ seed.astype(jnp.uint32))
+    h = _mix32(lo * jnp.uint32(_C1) ^ h)
     # 24 high bits -> float32 uniform in [0, 1): exact in fp32.
     u = (h >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
     return u - jnp.float32(0.5)

@@ -215,3 +215,52 @@ class TestPallasCollectives:
         )
         ring, ref = g(x)
         np.testing.assert_array_equal(np.asarray(ring), np.asarray(ref))
+
+
+class TestFlopAccounting:
+    """VERDICT r1 #3 'done' criterion: the distributed program's executed
+    flops stay within 1.2x the ideal N^3/3 for nt>=32 on the 2x4 mesh."""
+
+    def test_ratio_gate_2x4_nt32(self):
+        from dla_tpu.parallel.potrf_dist import flop_accounting
+
+        lay = BlockCyclicLayout(n=32 * 32, nb=32, p=2, q=4)
+        acc = flop_accounting(lay)
+        assert acc["ratio"] <= 1.2, acc
+
+    def test_ratio_improves_with_scale(self):
+        from dla_tpu.parallel.potrf_dist import flop_accounting
+
+        r32 = flop_accounting(BlockCyclicLayout(n=32 * 16, nb=16, p=2, q=4))["ratio"]
+        r64 = flop_accounting(BlockCyclicLayout(n=64 * 16, nb=16, p=2, q=4))["ratio"]
+        r128 = flop_accounting(BlockCyclicLayout(n=128 * 8, nb=8, p=2, q=4))["ratio"]
+        assert r64 < r32 and r128 < r64
+        assert r128 <= 1.06, r128
+
+    def test_accounting_matches_xla_cost_analysis(self):
+        """Cross-check the analytical accounting against XLA's own cost
+        model for the compiled SPMD program. XLA charges both branches of
+        every lax.cond (boundary tiles + the panel solve gate), so the
+        analytical count (which counts true runtime execution) must be
+        <= the XLA count, and the XLA count itself must stay within the
+        pre-optimization budget."""
+        import jax
+
+        from dla_tpu.parallel.potrf_dist import _potrf_jit, flop_accounting
+
+        lay = BlockCyclicLayout(n=32 * 8, nb=8, p=2, q=4)
+        mesh = make_mesh(2, 4)
+        x = generate_spd_block_cyclic(lay, mesh, seed=3, dtype=jnp.float32)
+        lowered = jax.jit(
+            lambda v: _potrf_jit(v, lay, mesh, True, 1)
+        ).lower(x)
+        cost = lowered.compile().cost_analysis()
+        xla_flops = cost.get("flops", 0.0) * mesh.size  # per-device SPMD
+        acc = flop_accounting(lay)
+        # the analytical count must never exceed what XLA says the program
+        # contains (guards against an accounting that flatters itself); the
+        # XLA number is inflated vs true runtime execution because it charges
+        # every cond branch on every device (the q-redundant solve and the
+        # boundary tiles are runtime-skipped) and models triangular_solve
+        # pessimistically at nb=8.
+        assert acc["executed"] <= xla_flops * 1.05, (acc["executed"], xla_flops)
