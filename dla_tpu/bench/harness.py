@@ -54,9 +54,11 @@ CSV_COLUMNS = [
     "mesh",
     "dtype",
     "mode",
+    "precision",
 ]
 
 _PERF_RE = re.compile(r"Performance:\s*([0-9.eE+-]+)\s*Gflop/s")
+_REPEAT_RE = re.compile(r"Repeat (\d+): ([0-9.eE+-]+) ms ([0-9.eE+-]+) Gflop/s")
 _RES_RE = re.compile(r"\|\|A - LL\^T\|\|_inf / \|\|A\|\|_inf\s*=\s*([0-9.eE+-]+)")
 _ELAPSED_RE = re.compile(r"Elapsed:\s*([0-9.eE+-]+)\s*ms")
 
@@ -85,6 +87,12 @@ class SweepConfig:
     timeout_s: float = 900.0
     max_retries: int = 3  # per-run retry budget (ArmoniK TaskOptions parity,
     # client_distrib.cpp:335-337); a crashed/timed-out child is re-executed
+    precision: str | None = None  # matmul tier (None = library default)
+    diag: str = "lax"  # diagonal-block factor backend
+    inproc_repeats: bool = True  # one fork per CONFIG with --repeats timed
+    # runs inside (a fork per repeat — the reference's layout — would pay
+    # the full remote XLA compile on every repeat; repeat 0 stays the
+    # compile/calibration row either way)
 
     @classmethod
     def from_json(cls, path: str) -> "SweepConfig":
@@ -109,7 +117,16 @@ def parse_metrics(stdout: str) -> tuple[float | None, float | None, float | None
     )
 
 
-def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="xla") -> list[str]:
+def parse_repeats(stdout: str) -> list[tuple[int, float, float]]:
+    """Extract (run_idx, ms, gflops) per in-process repeat line."""
+    return [
+        (int(m.group(1)), float(m.group(2)), float(m.group(3)))
+        for m in _REPEAT_RE.finditer(stdout)
+    ]
+
+
+def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="xla",
+                precision=None, diag="lax", repeats=1) -> list[str]:
     cmd = [
         sys.executable,
         "-m",
@@ -126,11 +143,15 @@ def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="
         gen,
     ]
     if mode in ("blocked", "shrink"):
-        cmd += ["--panel", panel, "--trailing", trailing]
+        cmd += ["--panel", panel, "--trailing", trailing, "--diag", diag]
+        if precision:
+            cmd += ["--precision", precision]
     if mode == "distributed":
         cmd += ["--p", str(mesh[0]), "--q", str(mesh[1])]
     if platform:
         cmd += ["--platform", platform]
+    if repeats > 1:
+        cmd += ["--repeats", str(repeats)]
     return cmd
 
 
@@ -181,20 +202,25 @@ def run_sweep(
                                 (n // nb) % mesh[0] or (n // nb) % mesh[1]
                             ):
                                 continue
-                            for rep in range(cfg.repeats):
-                                key = (
-                                    n,
-                                    nb,
-                                    dtype,
-                                    mode,
-                                    f"{mesh[0]}x{mesh[1]}",
-                                    rep,
-                                )
+                            if cfg.inproc_repeats and cfg.repeats > 1:
+                                key = (n, nb, dtype, mode,
+                                       f"{mesh[0]}x{mesh[1]}", 0)
                                 if key in done:
                                     continue
-                                row = _run_one(
-                                    cfg, n, nb, dtype, mode, mesh, rep, env
+                                new = _run_config_inproc(
+                                    cfg, n, nb, dtype, mode, mesh, env
                                 )
+                            else:
+                                new = []
+                                for rep in range(cfg.repeats):
+                                    key = (n, nb, dtype, mode,
+                                           f"{mesh[0]}x{mesh[1]}", rep)
+                                    if key in done:
+                                        continue
+                                    new.append(_run_one(
+                                        cfg, n, nb, dtype, mode, mesh, rep, env
+                                    ))
+                            for row in new:
                                 writer.writerow(row)
                                 f.flush()
                                 rows.append(row)
@@ -207,7 +233,8 @@ def run_sweep(
                                     )
                                     print(
                                         f"[sweep] N={n} NB={nb} {dtype} {mode} "
-                                        f"mesh={mesh[0]}x{mesh[1]} rep={rep}: "
+                                        f"mesh={mesh[0]}x{mesh[1]} "
+                                        f"rep={row['run_idx']}: "
                                         f"{row['gflops']} GF/s "
                                         f"res={row['rel_error']} {tag}",
                                         flush=True,
@@ -215,9 +242,71 @@ def run_sweep(
     return rows
 
 
+def _base_row(cfg, n, nb, dtype, mode, mesh, rep) -> dict:
+    return {
+        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+        "scheduler": "xla-static",
+        "mapping": "tpu-chip" if cfg.platform != "cpu" else "cpu-sim",
+        "ncpu": 0,
+        "ngpu": 0,
+        "N": n,
+        "NB": nb,
+        "run_idx": rep,
+        "ms": "",
+        "exit_code": 0,
+        "gflops": "",
+        "rel_error": "",
+        "device": cfg.platform or "tpu",
+        "mesh": f"{mesh[0]}x{mesh[1]}",
+        "dtype": dtype,
+        "mode": mode,
+        "precision": cfg.precision or "highest",
+    }
+
+
+def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
+    """One fork for the whole config; one CSV row per in-process repeat
+    (run_idx 0 = the compile/calibration repeat, like the reference)."""
+    cmd = _driver_cmd(
+        n, nb, dtype, mode, mesh, cfg.gen, cfg.platform, cfg.panel,
+        cfg.trailing, cfg.precision, cfg.diag, cfg.repeats - 1,
+    )
+    run_env = dict(os.environ)
+    if cfg.platform == "cpu":
+        run_env["PALLAS_AXON_POOL_IPS"] = ""
+        run_env["JAX_PLATFORMS"] = "cpu"
+    if env:
+        run_env.update(env)
+    exit_code, out = 1, ""
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True,
+            timeout=cfg.timeout_s, env=run_env,
+        )
+        exit_code = proc.returncode
+        out = proc.stdout
+    except subprocess.TimeoutExpired as e:
+        exit_code = 124
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+    _, res, _ = parse_metrics(out)
+    reps = parse_repeats(out)
+    rows = []
+    if not reps:  # child died before any repeat: record one failed row
+        row = _base_row(cfg, n, nb, dtype, mode, mesh, 0)
+        row["exit_code"] = exit_code
+        return [row]
+    for rep, ms, gf in reps:
+        row = _base_row(cfg, n, nb, dtype, mode, mesh, rep)
+        row.update(ms=ms, gflops=gf, exit_code=exit_code,
+                   rel_error=res if res is not None else "")
+        rows.append(row)
+    return rows
+
+
 def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
     cmd = _driver_cmd(
-        n, nb, dtype, mode, mesh, cfg.gen, cfg.platform, cfg.panel, cfg.trailing
+        n, nb, dtype, mode, mesh, cfg.gen, cfg.platform, cfg.panel,
+        cfg.trailing, cfg.precision, cfg.diag,
     )
     run_env = dict(os.environ)
     if cfg.platform == "cpu":
@@ -270,6 +359,7 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
         "mesh": f"{mesh[0]}x{mesh[1]}",
         "dtype": dtype,
         "mode": mode,
+        "precision": cfg.precision or "highest",
     }
 
 

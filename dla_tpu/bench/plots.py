@@ -18,8 +18,15 @@ import os
 
 import pandas as pd
 
-# v5e fp32-accum MXU peak per chip; override per-hardware via env.
-DEFAULT_PEAK_GFLOPS = float(os.environ.get("DLA_TPU_PEAK_GFLOPS", 9.18e4))
+# Measured per-precision matmul ceilings on this v5e (chained-GEMM probe,
+# results/micro2_r2.jsonl, RTT-corrected): default = 1-pass bf16,
+# high = 3-pass bf16x3, highest = true-fp32 6-pass. Override via env.
+DEFAULT_PEAK_GFLOPS = float(os.environ.get("DLA_TPU_PEAK_GFLOPS", 3.14e4))
+PEAK_BY_PRECISION = {
+    "default": 1.82e5,
+    "high": 6.31e4,
+    "highest": 3.14e4,
+}
 
 
 def load_bench_csv(path: str) -> pd.DataFrame:
@@ -33,7 +40,9 @@ def median_over_repeats(df: pd.DataFrame) -> pd.DataFrame:
     """Median GFLOP/s over timed repeats (run_idx > 0 excludes the
     compile/calibration repeat)."""
     timed = df[df["run_idx"] > 0]
-    group_cols = [c for c in ("mode", "mesh", "dtype", "N", "NB") if c in timed]
+    group_cols = [
+        c for c in ("mode", "mesh", "dtype", "precision", "N", "NB") if c in timed
+    ]
     return (
         timed.groupby(group_cols, as_index=False)
         .agg(gflops=("gflops", "median"), rel_error=("rel_error", "median"))
@@ -52,26 +61,35 @@ def plot_perf_grid(
     import matplotlib.pyplot as plt
 
     df = median_over_repeats(load_bench_csv(csv_path))
-    configs = sorted(df.groupby(["mode", "mesh", "dtype"]).groups)
+    if "precision" not in df:
+        df = df.assign(precision="highest")
+    configs = sorted(df.groupby(["mode", "mesh", "dtype", "precision"]).groups)
     ncols = max(1, len(configs))
     fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 4.5), squeeze=False)
     for ax, key in zip(axes[0], configs):
-        mode, mesh, dtype = key
-        sub = df[(df["mode"] == mode) & (df["mesh"] == mesh) & (df["dtype"] == dtype)]
+        mode, mesh, dtype, prec = key
+        sub = df[
+            (df["mode"] == mode) & (df["mesh"] == mesh)
+            & (df["dtype"] == dtype) & (df["precision"] == prec)
+        ]
+        peak = PEAK_BY_PRECISION.get(str(prec), peak_gflops)
         for nb, g in sub.groupby("NB"):
             g = g.sort_values("N")
             ax.plot(g["N"], g["gflops"], marker="o", label=f"NB={nb}")
         if len(sub):
             best = sub.loc[sub["gflops"].idxmax()]
             ax.annotate(
-                f"Best: {best['gflops']:.0f} GF/s\n(N={best['N']}, NB={best['NB']})",
+                f"Best: {best['gflops']:.0f} GF/s = "
+                f"{best['gflops'] / peak:.0%} of peak\n"
+                f"(N={best['N']}, NB={best['NB']})",
                 xy=(best["N"], best["gflops"]),
-                xytext=(0.55, 0.15),
+                xytext=(0.45, 0.15),
                 textcoords="axes fraction",
                 arrowprops={"arrowstyle": "->"},
             )
-        ax.axhline(peak_gflops, ls="--", c="gray", lw=1, label="MXU peak")
-        ax.set_title(f"{mode} {mesh} {dtype}")
+        ax.axhline(peak, ls="--", c="gray", lw=1,
+                   label=f"MXU peak ({prec})")
+        ax.set_title(f"{mode} {mesh} {dtype} {prec}")
         ax.set_xlabel("N")
         ax.set_ylabel("GFLOP/s")
         ax.legend(fontsize=7)

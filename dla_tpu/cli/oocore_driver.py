@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--matrix", default=None, help="disk-backed store path (RAM if omitted)")
     ap.add_argument("--progress", default=None, help="resume sidecar JSON path")
     ap.add_argument("--probes", type=int, default=2, help="Freivalds validation probes (0 = skip)")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable the double-buffered k-panel prefetch")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,11 +63,12 @@ def main(argv=None) -> int:
         orig.array[:] = np.tril(store.array)
 
     t0 = time.perf_counter()
-    potrf_outofcore(
+    stats = potrf_outofcore(
         store,
         panel=args.panel,
         nb=args.nb,
         progress_path=args.progress,
+        prefetch=not args.no_prefetch,
         on_panel=lambda j, np_: print(
             f"[oocore] panel {j + 1}/{np_} done @ {time.perf_counter() - t0:.1f}s",
             flush=True,
@@ -74,6 +77,19 @@ def main(argv=None) -> int:
     t1 = time.perf_counter()
     print(f"Elapsed: {(t1 - t0) * 1e3:.1f} ms")
     print(f"Performance: {gflops(potrf_flops(n), t1 - t0):.2f} Gflop/s")
+    if stats["panels"]:
+        gib = 2**30
+        print(
+            "[oocore] staging: "
+            f"in {stats['bytes_in'] / gib:.2f} GiB "
+            f"(pack {stats['pack_s']:.1f}s @ "
+            f"{stats['bytes_in'] / max(stats['pack_s'], 1e-9) / gib:.2f} GiB/s, "
+            f"h2d wait {stats['h2d_wait_s']:.1f}s), "
+            f"out {stats['bytes_out'] / gib:.2f} GiB "
+            f"(writeback {stats['writeback_s']:.1f}s @ "
+            f"{stats['bytes_out'] / max(stats['writeback_s'], 1e-9) / gib:.2f} GiB/s)",
+            flush=True,
+        )
 
     rc = 0
     if orig is not None:

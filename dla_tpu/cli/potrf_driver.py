@@ -134,6 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
         "refinement (fp32 factor + fp64 residual — north-star config 3)",
     )
     ap.add_argument("--nrhs", type=int, default=1, help="right-hand sides for --solve")
+    ap.add_argument(
+        "--repeats", type=int, default=1,
+        help="timed in-process repeats after the compile/warm-up repeat 0 "
+        "(one 'Repeat i:' line each; Elapsed/Performance report the median)",
+    )
     return ap
 
 
@@ -286,13 +291,29 @@ def main(argv=None) -> int:
             _ = float(jnp.real(l[cfg.n - 1, cfg.n - 1]))
             return l
 
-    run()  # warm-up / compile (the reference's calibration repeat analogue)
+    # Repeat 0 = warm-up/compile (the reference's STARPU_CALIBRATE repeat,
+    # benchmark.c:201); further repeats are timed in-process — on this
+    # remote-compile TPU path a subprocess per repeat would pay the full
+    # compile every time, so the sweep harness forks per *config* and asks
+    # for --repeats timed runs instead. Each repeat is printed as a
+    # machine-parsable line; Elapsed/Performance keep the reference contract
+    # (median of the timed repeats).
     t0 = time.perf_counter()
     l = run()
     t1 = time.perf_counter()
-
-    perf = gflops(potrf_flops(cfg.n), t1 - t0)
-    print(f"Elapsed: {(t1 - t0) * 1e3:.1f} ms")
+    print(f"Repeat 0: {(t1 - t0) * 1e3:.1f} ms "
+          f"{gflops(potrf_flops(cfg.n), t1 - t0):.2f} Gflop/s (compile)")
+    times = []
+    for i in range(1, max(1, args.repeats) + 1):
+        t0 = time.perf_counter()
+        l = run()
+        t1 = time.perf_counter()
+        times.append(t1 - t0)
+        print(f"Repeat {i}: {(t1 - t0) * 1e3:.1f} ms "
+              f"{gflops(potrf_flops(cfg.n), t1 - t0):.2f} Gflop/s")
+    tmed = sorted(times)[len(times) // 2]
+    perf = gflops(potrf_flops(cfg.n), tmed)
+    print(f"Elapsed: {tmed * 1e3:.1f} ms")
     print(f"Performance: {perf:.2f} Gflop/s")
 
     rc = 0

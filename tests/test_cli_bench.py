@@ -39,8 +39,10 @@ class TestConfig:
     def test_dtype_aliases(self):
         assert RunConfig(n=8, nb=4, dtype="d").dtype == "float64"
         assert RunConfig(n=8, nb=4, dtype="s").dtype == "float32"
+        assert RunConfig(n=8, nb=4, dtype="z").dtype == "complex128"
+        assert RunConfig(n=8, nb=4, dtype="c").dtype == "complex64"
         with pytest.raises(ValueError):
-            RunConfig(n=8, nb=4, dtype="z")  # complex unsupported
+            RunConfig(n=8, nb=4, dtype="q")  # not in the reference map
 
     def test_layering_env_over_json(self, tmp_path):
         prof = tmp_path / "appsettings.json"
@@ -55,8 +57,9 @@ class TestConfig:
     def test_validation(self):
         with pytest.raises(ValueError):
             RunConfig(n=-1, nb=4)
+        assert RunConfig(n=8, nb=4, uplo="U").uplo == "U"
         with pytest.raises(ValueError):
-            RunConfig(n=8, nb=4, uplo="U")
+            RunConfig(n=8, nb=4, uplo="B")  # generator fill mode, not a side
 
 
 class TestFlops:
