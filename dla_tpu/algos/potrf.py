@@ -48,22 +48,19 @@ def _isc(a) -> bool:
 
 
 def _auto_tb(nb: int, dtype, budget_bytes: int = 10 * 2**20) -> int:
-    """Largest trailing-update tile tb ∈ {512, 256, 128} dividing nb whose
-    double-buffered VMEM footprint (C tb×tb in+out, two tb×nb panel blocks)
-    fits the budget. v5e VMEM is 16 MiB and XLA's true accounting runs ~1.6×
-    this model (measured: model 12.6 MB → actual 20.2 MB), so the budget
-    leaves that headroom."""
-    item = jnp.dtype(dtype).itemsize
-    # end-to-end measurement on v5e picked tb=512/kb=512 (standalone kernel
-    # probes slightly favored tb=256/kb=1024 and alias=False, but in the
-    # full program the aliased 512/512 config wins — buffer reuse across
-    # the shrink iterations outweighs the kernel-local gain)
-    for cand in (512, 256, 128):
+    """Largest trailing-update tile tb ∈ {1024, 512, 256, 128} dividing nb.
+
+    r2 measurement (``results/micro3_r2.jsonl``, with the Mosaic
+    vmem_limit bump that unlocked tb=1024 on the remote compiler):
+    tb=1024/kb=256/alias=False wins at every precision tier
+    (28.8 / 97.5 TF/s RTT-corrected at highest / default vs 26.2 / 55.0
+    for the r1 tb=512/kb=512 pick) — larger C tiles raise arithmetic
+    intensity past the HBM bound that capped the 1-pass tier."""
+    del dtype, budget_bytes  # superseded: Mosaic is given an explicit
+    # vmem_limit and the tb=1024/kb=256 footprint is compile-verified on v5e
+    for cand in (1024, 512, 256, 128):
         if nb % cand == 0 or cand % nb == 0:
-            t = min(cand, nb)
-            kb = min(nb, 512)
-            if 2 * t * (2 * t + 2 * kb) * item <= budget_bytes:
-                return t
+            return min(cand, nb)
     return min(nb, 128)
 
 
@@ -271,7 +268,7 @@ def potrf_shrink(
     trailing: Literal["xla", "pallas"] = "xla",
     tb: int | None = None,
     kb: int | None = None,
-    trailing_alias: bool = True,
+    trailing_alias: bool = False,
     precision: str | None = None,
 ) -> jax.Array:
     """Right-looking Cholesky on a *shrinking* trailing matrix — the
@@ -342,8 +339,12 @@ def potrf_shrink(
                     # undefined — safe here: every later read of the trailing
                     # square (diag block, panel column, lower pairs) touches
                     # only lower-triangle tiles.
+                    # alias=False default: measured ~10% faster on v5e (the
+                    # aliased writeback serializes the next block's prefetch)
+                    # and safe here — shrink never reads upper-triangle tiles
                     t = trailing_update_lower(
-                        t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype), kb=kb,
+                        t[w:, w:], lp, tb=tb or _auto_tb(nb, a.dtype),
+                        kb=kb if kb is not None else min(nb, 256),
                         alias=trailing_alias,
                         vmem_limit_bytes=100 * 2**20,
                     )

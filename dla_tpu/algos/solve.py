@@ -86,3 +86,67 @@ def posv_refined(
     x = jax.lax.fori_loop(0, iters, body, x)
     r = bw - jnp.matmul(aw, x, preferred_element_type=wide_dtype)
     return l, x, jnp.max(jnp.abs(r))
+
+
+def posv_refined_host(
+    a_host,
+    b_host,
+    *,
+    nb: int = 2048,
+    iters: int = 12,
+    tol: float = 1e-11,
+    potrf_kwargs: dict | None = None,
+):
+    """Hybrid mixed-precision POSV for devices without trustworthy fp64.
+
+    On this TPU path fp64 arithmetic silently degrades (CLAUDE.md), so the
+    all-on-device :func:`posv_refined` cannot reach the reference's 1e-10
+    solve contract on-chip. The classical fix is to split the refinement by
+    precision *and location*: the O(N³) factor and the O(N²·nrhs)
+    correction solves run on the device in fp32 (MXU speed), while the
+    O(N²·nrhs) residual ``r = b − A·x`` accumulates on the host in real
+    fp64 — per iteration only the nrhs-wide x/r vectors cross the link
+    (KBs), never the matrix. This realizes BASELINE.json config 3
+    (fp32 factor, ≤1e-10 solve residual) on real TPU hardware.
+
+    Args:
+      a_host: (n, n) float64 numpy array, symmetric data in the lower
+        triangle (upper ignored).
+      b_host: (n,) or (n, nrhs) float64 numpy right-hand side.
+      nb / potrf_kwargs: forwarded to the device factorization
+        (:func:`~dla_tpu.algos.potrf.potrf_shrink`).
+      iters / tol: refinement budget; stops early once the normwise
+        backward error ||b − A·x||/(||A||·||x||) drops below tol.
+
+    Returns (x_f64, backward_error_f64, iters_used).
+    """
+    import numpy as np
+
+    from dla_tpu.algos.potrf import potrf_shrink
+
+    a64 = np.asarray(a_host, np.float64)
+    asym = np.tril(a64) + np.tril(a64, -1).T
+    vec = np.asarray(b_host).ndim == 1
+    b64 = np.asarray(b_host, np.float64).reshape(len(a64), -1)
+
+    l = potrf_shrink(jnp.asarray(asym, jnp.float32), nb=nb, **(potrf_kwargs or {}))
+    l.block_until_ready()
+
+    solve = jax.jit(lambda r: potrs(l, r))
+
+    norm_a = np.abs(asym).sum(axis=1).max()
+    x = np.zeros_like(b64)
+    r = b64.copy()
+    err = np.inf
+    used = 0
+    for i in range(iters):
+        d = np.asarray(solve(jnp.asarray(r, jnp.float32)), np.float64)
+        x += d
+        r = b64 - asym @ x  # host fp64 — the only trustworthy wide dtype
+        used = i + 1
+        norm_x = np.abs(x).max()
+        err = np.abs(r).max() / (norm_a * max(norm_x, 1e-300))
+        if err < tol:
+            break
+    x = x[:, 0] if vec else x
+    return x, float(err), used

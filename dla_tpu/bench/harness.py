@@ -181,6 +181,7 @@ def run_sweep(
                         row.get("dtype", ""),
                         row.get("mode", ""),
                         row.get("mesh", ""),
+                        row.get("precision", "highest") or "highest",
                         int(row["run_idx"]),
                     )
                 )
@@ -202,9 +203,10 @@ def run_sweep(
                                 (n // nb) % mesh[0] or (n // nb) % mesh[1]
                             ):
                                 continue
+                            prec_key = cfg.precision or "highest"
                             if cfg.inproc_repeats and cfg.repeats > 1:
                                 key = (n, nb, dtype, mode,
-                                       f"{mesh[0]}x{mesh[1]}", 0)
+                                       f"{mesh[0]}x{mesh[1]}", prec_key, 0)
                                 if key in done:
                                     continue
                                 new = _run_config_inproc(
@@ -214,7 +216,7 @@ def run_sweep(
                                 new = []
                                 for rep in range(cfg.repeats):
                                     key = (n, nb, dtype, mode,
-                                           f"{mesh[0]}x{mesh[1]}", rep)
+                                           f"{mesh[0]}x{mesh[1]}", prec_key, rep)
                                     if key in done:
                                         continue
                                     new.append(_run_one(

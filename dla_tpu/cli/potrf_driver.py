@@ -354,7 +354,42 @@ def main(argv=None) -> int:
             print(f"FAIL (residual >= {gate:g})")
             rc = 1
 
-    if args.solve != "none":
+    if args.solve == "refined" and not jax.config.jax_enable_x64:
+        # Hybrid refinement: on this TPU path fp64 silently degrades, so the
+        # route to the reference's 1e-10 solve contract is an fp32 device
+        # factor + correction solves with host-fp64 residuals (only the
+        # nrhs-wide vectors cross the link) — BASELINE config 3 in anger.
+        from dla_tpu.algos.solve import posv_refined_host
+        from dla_tpu.runtime.staging import HostTileStore
+
+        if cfg.gen == "plgsy" and not args.input and view is None and cfg.uplo == "L":
+            # regenerate A on the host in fp64 (the native generator is
+            # bit-identical to the device one) — no N² device→host pull
+            st = HostTileStore(cfg.n, np.float64)
+            st.fill_plgsy(seed=cfg.seed, bump=bump)
+            a64 = np.tril(st.array).copy()
+            st.close()
+        else:
+            a64 = np.asarray(jnp.tril(a), np.float64)
+        b64 = np.ones((cfg.n, args.nrhs))
+        kwp = {}
+        if cfg.mode in ("blocked", "shrink"):
+            kwp = {"panel": args.panel, "trailing": args.trailing,
+                   "diag_factor": args.diag}
+        t0 = time.perf_counter()
+        x, serr, used = posv_refined_host(a64, b64, nb=cfg.nb, potrf_kwargs=kwp)
+        t1 = time.perf_counter()
+        print(f"[dla-potrf] refined solve: {used} iterations, "
+              f"{(t1 - t0) * 1e3:.1f} ms (fp32 factor on device, fp64 "
+              f"residuals on host)")
+        print(f"||B - A X||_inf / (||A||_inf ||X||_inf) = {serr:.2e}")
+        sgate = args.gate if args.gate is not None else 1e-10
+        if serr < sgate and np.isfinite(serr):
+            print(f"SOLVE PASS (residual < {sgate:g})")
+        else:
+            print(f"SOLVE FAIL (residual >= {sgate:g})")
+            rc = 1
+    elif args.solve != "none":
         from dla_tpu.algos import posv_refined, potrs
         from dla_tpu.validate import residual_posv
 

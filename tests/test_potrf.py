@@ -271,3 +271,19 @@ class TestPrecisionOverride:
         assert P.matmul_precision() == os.environ.get(
             "DLA_TPU_MATMUL_PRECISION", "highest"
         )
+
+
+class TestRefinedHost:
+    def test_posv_refined_host_hits_1e10_from_fp32_factor(self):
+        """Hybrid refinement (fp32 device factor + host-fp64 residuals) —
+        the route to the 1e-10 solve contract on hardware whose fp64
+        silently degrades (BASELINE config 3)."""
+        from dla_tpu.algos.solve import posv_refined_host
+
+        n = 512
+        a = _spd(n, seed=80)
+        b = np.arange(n, dtype=np.float64)
+        x, err, used = posv_refined_host(a, b, nb=128)
+        assert err < 1e-10, (err, used)
+        ref = np.linalg.solve(np.tril(a) + np.tril(a, -1).T, b)
+        np.testing.assert_allclose(x, ref, rtol=1e-8)
