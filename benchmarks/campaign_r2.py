@@ -47,6 +47,13 @@ def main():
                     modes=("blocked",), panel="xla", trailing="xla",
                     diag="lax", precision="highest", repeats=8,
                     timeout_s=2400.0, max_retries=1),
+        # distributed rows (the r1 campaign had none): block-cyclic shard_map
+        # POTRF on the virtual CPU fleet, honestly labeled device=cpu —
+        # the 2x4 and 2x2 PxQ grids the dryrun exercises, fp64 to the gate
+        SweepConfig(ns=(1024, 2048), nbs=(64, 128), dtypes=("float64",),
+                    modes=("distributed",), meshes=((2, 4), (2, 2)),
+                    platform="cpu", repeats=8, timeout_s=900.0,
+                    max_retries=1),
     ]
     total = 0
     for cfg in campaigns:

@@ -24,19 +24,61 @@ import jax
 import jax.numpy as jnp
 
 from dla_tpu.algos.potrf import potrf_blocked
-from dla_tpu.ops import trsm
+from dla_tpu.ops import gemm, trsm
 
 
-def potrs(l: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve A·X = B given A = L·L^T: two blocked triangular solves
+def _solve_lower_blocked(l: jax.Array, b: jax.Array, *, trans: bool, ib: int = 512):
+    """Left triangular solve L·X=B (or Lᵀ·X=B / Lᴴ·X=B) with only the
+    ib×ib diagonal blocks inverted; everything else is MXU GEMMs. XLA's
+    native ``triangular_solve`` emits a huge blocked program at large n
+    whose remote compile takes tens of minutes on this TPU path — this
+    unrolled formulation compiles in seconds and runs at GEMM speed."""
+    n = l.shape[-1]
+    ib = min(ib, n)
+    cj = jnp.iscomplexobj(l)
+    eye = jnp.eye(ib, dtype=l.dtype)
+    x = jnp.zeros_like(b)
+    blocks = list(range(0, n, ib))
+    order = blocks if not trans else blocks[::-1]
+    for off in order:
+        w = min(ib, n - off)
+        dinv = trsm(1.0, l[off : off + w, off : off + w], eye[:w, :w],
+                    side="L", transa=False)
+        rhs = b[off : off + w]
+        if not trans and off:
+            rhs = gemm(-1.0, l[off : off + w, :off], x[:off], 1.0, rhs)
+        elif trans and off + w < n:
+            # (op(L))_{ij} = op(L_ji) for j > i in the transposed solve
+            rhs = gemm(-1.0, l[off + w :, off : off + w], x[off + w :],
+                       1.0, rhs, transa=True, conja=cj)
+        x = x.at[off : off + w].set(
+            gemm(1.0, dinv, rhs, 0.0, jnp.zeros_like(rhs),
+                 transa=trans, conja=trans and cj)
+        )
+    return x
+
+
+def potrs(l: jax.Array, b: jax.Array, *, blocked: bool | None = None) -> jax.Array:
+    """Solve A·X = B given A = L·L^T (L·L^H for c/z): two triangular solves
     (forward then back substitution). Mirrors LAPACK ``dpotrs``; the
     reference ships the factor path only, the solve path is part of the
-    rebuild's north star (BASELINE.json)."""
+    rebuild's north star (BASELINE.json).
+
+    ``blocked`` (default: auto, n ≥ 2048) routes through the unrolled
+    block-inverse solves instead of XLA's native triangular_solve — see
+    :func:`_solve_lower_blocked` for why.
+    """
     vec = b.ndim == 1
     bb = b[:, None] if vec else b
     cj = jnp.iscomplexobj(l)
-    y = trsm(1.0, l, bb, side="L", uplo="L", transa=False)
-    x = trsm(1.0, l, y, side="L", uplo="L", transa=True, conja=cj)
+    if blocked is None:
+        blocked = l.shape[-1] >= 2048
+    if blocked:
+        y = _solve_lower_blocked(l, bb, trans=False)
+        x = _solve_lower_blocked(l, y, trans=True)
+    else:
+        y = trsm(1.0, l, bb, side="L", uplo="L", transa=False)
+        x = trsm(1.0, l, y, side="L", uplo="L", transa=True, conja=cj)
     return x[:, 0] if vec else x
 
 

@@ -275,8 +275,16 @@ def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
     )
     run_env = dict(os.environ)
     if cfg.platform == "cpu":
+        # CPU-only child: skip the axon TPU plugin registration entirely
+        # (slow/flaky over the tunnel, and it overrides platform selection);
+        # give distributed-mode children a big-enough virtual device fleet
         run_env["PALLAS_AXON_POOL_IPS"] = ""
         run_env["JAX_PLATFORMS"] = "cpu"
+        ndev = max(8, mesh[0] * mesh[1])
+        run_env["XLA_FLAGS"] = (
+            run_env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={ndev}"
+        ).strip()
     if env:
         run_env.update(env)
     exit_code, out = 1, ""
@@ -313,9 +321,15 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
     run_env = dict(os.environ)
     if cfg.platform == "cpu":
         # CPU-only child: skip the axon TPU plugin registration entirely
-        # (slow/flaky over the tunnel, and it overrides platform selection)
+        # (slow/flaky over the tunnel, and it overrides platform selection);
+        # give distributed-mode children a big-enough virtual device fleet
         run_env["PALLAS_AXON_POOL_IPS"] = ""
         run_env["JAX_PLATFORMS"] = "cpu"
+        ndev = max(8, mesh[0] * mesh[1])
+        run_env["XLA_FLAGS"] = (
+            run_env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={ndev}"
+        ).strip()
     if env:
         run_env.update(env)
     t0 = time.perf_counter()
