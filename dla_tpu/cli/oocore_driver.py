@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     ap.add_argument("--matrix", default=None, help="disk-backed store path (RAM if omitted)")
     ap.add_argument("--progress", default=None, help="resume sidecar JSON path")
     ap.add_argument("--probes", type=int, default=2, help="Freivalds validation probes (0 = skip)")
+    ap.add_argument("--orig", default=None,
+                    help="disk path for the regenerated-A validation store "
+                    "(RAM if omitted; use when 2 matrices exceed host DRAM)")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the double-buffered k-panel prefetch")
     args = ap.parse_args(argv)
@@ -53,14 +56,10 @@ def main(argv=None) -> int:
         flush=True,
     )
     store = HostTileStore(n, dtype, path=args.matrix)
-    orig = None
     fresh = args.progress is None or not __import__("os").path.exists(args.progress)
     if fresh:
         print("[oocore] generating SPD matrix (native, seeded)...", flush=True)
         store.fill_plgsy(seed=args.seed)
-    if args.probes and fresh:
-        orig = HostTileStore(n, dtype)
-        orig.array[:] = np.tril(store.array)
 
     t0 = time.perf_counter()
     stats = potrf_outofcore(
@@ -92,7 +91,15 @@ def main(argv=None) -> int:
         )
 
     rc = 0
-    if orig is not None:
+    if args.probes:
+        # Regenerate A from the seed for validation (plgsy is deterministic
+        # and the native Freivalds reads only the lower triangles, so no
+        # pre-factorization copy of A is needed — validation works the same
+        # on fresh runs and after a kill/resume, and peak host memory during
+        # the factorization stays at one matrix).
+        print("[oocore] regenerating A for Freivalds validation...", flush=True)
+        orig = HostTileStore(n, dtype, path=args.orig)
+        orig.fill_plgsy(seed=args.seed)
         res = orig.freivalds_residual(store, probes=args.probes)
         print(f"freivalds ||(A - LL^T)x|| / (||A|| ||x||) = {res:.2e}")
         gate = 1e-10 if dtype == np.float64 else n * 2e-7
