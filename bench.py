@@ -122,6 +122,19 @@ def main():
         t = sorted(times)[len(times) // 2]  # median, matching plot_grid_all.py
         gflops = (n**3 / 3) / t / 1e9
 
+        trace_dir = os.environ.get("BENCH_TRACE")
+        if trace_dir:
+            # one extra (untimed) run under the xprof tracer — inspect with
+            # `tensorboard --logdir $BENCH_TRACE` (utils/profiling.trace)
+            from dla_tpu.utils.profiling import trace
+
+            a = gen(jnp.float32(-1e-3))
+            _ = float(a[0, 0])
+            with trace(os.path.join(trace_dir, prec)):
+                l2 = fn(a)
+                _ = float(l2[n - 1, n - 1])
+            log(f"[{prec}] profiler trace written to {trace_dir}/{prec}")
+
         @jax.jit
         def check(l, s):
             a = plgsy(n, bump=float(n), seed=51, dtype=dtype)

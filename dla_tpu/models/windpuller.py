@@ -169,39 +169,72 @@ class WindPuller:
         }
 
     # -- persistence (↔ z/windpuller.py:142-157 save/load) -------------------
+    #
+    # Two formats, chosen by path: ``*.orbax`` → an orbax-checkpoint
+    # directory (the TPU-ecosystem-native format: async-capable, sharding-
+    # aware, inspectable on disk), anything else → a single pickle file
+    # (the reference's Keras ``save_weights`` analogue).
+
+    def _meta(self) -> dict:
+        return {
+            "input_shape": tuple(self.input_shape),
+            "outputs": self.outputs,
+            "hidden": tuple(self.hidden),
+            "lr": self.lr,
+            "noise_std": self.noise_std,
+            "dropout": self.dropout,
+        }
+
+    @staticmethod
+    def _is_orbax(path: str) -> bool:
+        return path.rstrip("/").endswith(".orbax")
 
     def save(self, path: str) -> None:
+        flat = jax.tree_util.tree_map(np.asarray, self.params)
+        if self._is_orbax(path):
+            import json
+            import os
+
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(path)
+            ocp.PyTreeCheckpointer().save(
+                os.path.join(path, "params"), flat, force=True
+            )
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(self._meta(), f)
+            return
         import pickle
 
-        flat = jax.tree_util.tree_map(np.asarray, self.params)
         with open(path, "wb") as f:
-            pickle.dump(
-                {
-                    "params": flat,
-                    "input_shape": self.input_shape,
-                    "outputs": self.outputs,
-                    "hidden": tuple(self.hidden),
-                    "lr": self.lr,
-                    "noise_std": self.noise_std,
-                    "dropout": self.dropout,
-                },
-                f,
-            )
+            pickle.dump({"params": flat, **self._meta()}, f)
 
     @classmethod
     def load(cls, path: str) -> "WindPuller":
-        import pickle
+        if cls._is_orbax(path):
+            import json
+            import os
 
-        with open(path, "rb") as f:
-            d = pickle.load(f)
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(path)
+            with open(os.path.join(path, "meta.json")) as f:
+                d = json.load(f)
+            params = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
+        else:
+            import pickle
+
+            with open(path, "rb") as f:
+                d = pickle.load(f)
+            params = d["params"]
         wp = cls(
             input_shape=tuple(d["input_shape"]),
             outputs=d["outputs"],
-            hidden=d["hidden"],
+            hidden=tuple(d["hidden"]),
             lr=d["lr"],
             noise_std=d["noise_std"],
             dropout=d["dropout"],
         )
-        wp.params = jax.tree_util.tree_map(jnp.asarray, d["params"])
+        wp.params = jax.tree_util.tree_map(jnp.asarray, params)
         wp.opt_state = wp.tx.init(wp.params)
         return wp

@@ -137,6 +137,22 @@ class TestWindPuller:
         wp2 = WindPuller.load(path)
         np.testing.assert_allclose(wp2.predict(x), p1, rtol=1e-6)
 
+    def test_orbax_roundtrip(self, tmp_path):
+        """*.orbax paths select the orbax-checkpoint directory format (the
+        TPU-ecosystem-native persistence alongside the reference-parity
+        pickle)."""
+        from dla_tpu.models.windpuller import WindPuller
+
+        wp = WindPuller(input_shape=(5, 4), outputs=2, hidden=(8,), seed=3)
+        x = np.random.default_rng(1).standard_normal((7, 5, 4)).astype(np.float32)
+        p1 = wp.predict(x)
+        path = str(tmp_path / "wp.orbax")
+        wp.save(path)
+        wp2 = WindPuller.load(path)
+        np.testing.assert_allclose(wp2.predict(x), p1, rtol=1e-6)
+        # format is self-describing on disk: params dir + readable metadata
+        assert (tmp_path / "wp.orbax" / "meta.json").exists()
+
 
 class TestRenorm:
     def test_batch_renorm_shapes_and_stats(self):
