@@ -58,6 +58,9 @@ def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str):
             pw = panel.shape[1]
             return gemm(-1.0, lk, lk[:pw], 1.0, panel, transb=True)
 
+        # With row-sharded operands XLA's SPMD partitioner turns lk[:pw]
+        # into an all-gather of the top rows and keeps the GEMM local —
+        # the panel stream scales over the mesh with no code change.
         return jax.jit(f, donate_argnums=(0,))
 
     if kind == "factor":
@@ -162,6 +165,7 @@ def potrf_outofcore(
     progress_path: str | None = None,
     on_panel: Callable[[int, int], None] | None = None,
     prefetch: bool = True,
+    mesh=None,
 ) -> dict:
     """Factor the SPD matrix in ``store`` in place (lower triangle becomes L).
 
@@ -177,6 +181,13 @@ def potrf_outofcore(
       on_panel: optional callback(panel_index, n_panels) after each panel.
       prefetch: overlap host pack + h2d of panel k+1 with the device update
         GEMM against panel k (double buffering).
+      mesh: optional ``jax.sharding.Mesh`` — the **distributed out-of-core**
+        configuration (BASELINE.json config 5 at multi-chip scale: N bounded
+        by host DRAM/disk, not by per-chip or even aggregate HBM). Streamed
+        panels are row-sharded over all mesh axes; the update GEMMs run
+        SPMD with XLA-inserted collectives (the top-``w`` rows of the k
+        panel are all-gathered, everything else stays local). Requires
+        ``panel`` to be a multiple of ``mesh.size``.
 
     Returns:
       staging stats: bytes/seconds for pack (host gather), h2d wait, d2h +
@@ -195,6 +206,15 @@ def potrf_outofcore(
     if n % panel:
         raise ValueError(f"n={n} must be a multiple of panel={panel}")
     npan = n // panel
+    sharding = None
+    if mesh is not None:
+        if panel % mesh.size:
+            raise ValueError(
+                f"panel={panel} must be a multiple of mesh.size={mesh.size}"
+            )
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh.axis_names, None)
+        )
     side = _Sidecar(progress_path, n, panel) if progress_path else None
     if side:
         side.recover(store)
@@ -212,7 +232,10 @@ def potrf_outofcore(
         t0 = time.perf_counter()
         buf = store.pack(j0, k0, ph, panel)
         t1 = time.perf_counter()
-        arr = jnp.asarray(buf)  # async h2d dispatch
+        if sharding is not None:
+            arr = jax.device_put(buf, sharding)  # row-sharded over the mesh
+        else:
+            arr = jnp.asarray(buf)  # async h2d dispatch
         stats["pack_s"] += t1 - t0
         stats["bytes_in"] += ph * panel * item
         return arr

@@ -34,6 +34,9 @@ def main(argv=None) -> int:
                     "(RAM if omitted; use when 2 matrices exceed host DRAM)")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the double-buffered k-panel prefetch")
+    ap.add_argument("--p", type=int, default=1, help="mesh rows (PxQ device grid)")
+    ap.add_argument("--q", type=int, default=1, help="mesh cols — p*q>1 runs the "
+                    "distributed out-of-core path (panels sharded over the mesh)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +64,14 @@ def main(argv=None) -> int:
         print("[oocore] generating SPD matrix (native, seeded)...", flush=True)
         store.fill_plgsy(seed=args.seed)
 
+    mesh = None
+    if args.p * args.q > 1:
+        from dla_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.p, args.q)
+        print(f"[oocore] distributed: panels sharded over a {args.p}x{args.q} mesh",
+              flush=True)
+
     t0 = time.perf_counter()
     stats = potrf_outofcore(
         store,
@@ -68,6 +79,7 @@ def main(argv=None) -> int:
         nb=args.nb,
         progress_path=args.progress,
         prefetch=not args.no_prefetch,
+        mesh=mesh,
         on_panel=lambda j, np_: print(
             f"[oocore] panel {j + 1}/{np_} done @ {time.perf_counter() - t0:.1f}s",
             flush=True,

@@ -87,6 +87,35 @@ class TestOutOfCore:
         ref = scipy.linalg.cholesky(a_sym, lower=True)
         np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
 
+    def test_distributed_mesh_matches_lapack(self):
+        """Distributed out-of-core (ROADMAP #7 / BASELINE config 5 at
+        multi-chip scale): streamed panels row-sharded over the full device
+        mesh, update GEMMs SPMD with XLA-inserted collectives. Must meet the
+        same fp64 gate as the single-device path."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+        from dla_tpu.parallel import make_mesh
+
+        n, panel, nb = 256, 64, 32
+        mesh = make_mesh(2, 4)
+        with HostTileStore(n, np.float64) as st:
+            st.fill_plgsy(seed=51)
+            a = np.tril(st.array).copy()
+            a_sym = a + np.tril(a, -1).T
+            stats = potrf_outofcore(st, panel=panel, nb=nb, mesh=mesh)
+            got = np.tril(st.array)
+        ref = scipy.linalg.cholesky(a_sym, lower=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+        assert stats["panels"] == n // panel
+
+    def test_distributed_mesh_rejects_bad_panel(self):
+        from dla_tpu.algos.oocore import potrf_outofcore
+        from dla_tpu.parallel import make_mesh
+
+        with HostTileStore(64, np.float64) as st:
+            st.fill_plgsy(seed=51)
+            with pytest.raises(ValueError, match="multiple of mesh.size"):
+                potrf_outofcore(st, panel=4, nb=4, mesh=make_mesh(2, 4))
+
     def test_freivalds_gate_end_to_end(self):
         from dla_tpu.algos.oocore import potrf_outofcore
 
