@@ -216,6 +216,94 @@ class TestPallasCollectives:
         ring, ref = g(x)
         np.testing.assert_array_equal(np.asarray(ring), np.asarray(ref))
 
+    def test_grouped_subring_is_flat_mesh_pxq_row_broadcast(self):
+        """group=Q runs independent sub-rings within a flat P*Q axis — the
+        flat-mesh expression of the 2x4 process grid's row broadcast (Pallas
+        DMA cannot address multi-axis meshes; the grid arithmetic moves into
+        the kernel instead). Reference: lax.all_gather with
+        axis_index_groups of consecutive blocks."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dla_tpu.kernels.collectives import ring_all_gather
+
+        pg, qg = 2, 4
+        mesh = Mesh(np.asarray(jax.devices()[: pg * qg]), ("d",))
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((pg * qg * 4, 6)))
+        groups = [[r * qg + c for c in range(qg)] for r in range(pg)]
+
+        def both(xl):
+            ring = ring_all_gather(xl, "d", group=qg)
+            ref = jax.lax.all_gather(
+                xl, "d", tiled=True, axis_index_groups=groups
+            )
+            return ring, ref
+
+        g = jax.jit(
+            jax.shard_map(
+                both, mesh=mesh, in_specs=P("d", None),
+                out_specs=(P("d", None), P("d", None)), check_vma=False,
+            )
+        )
+        ring, ref = g(x)
+        np.testing.assert_array_equal(np.asarray(ring), np.asarray(ref))
+
+    def test_ring_broadcast_matches_owner_block(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dla_tpu.kernels.collectives import ring_broadcast
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+        x = jnp.arange(8 * 4 * 6, dtype=jnp.float64).reshape(32, 6)
+        f = jax.jit(
+            jax.shard_map(
+                lambda xl: ring_broadcast(xl, "d", 3),
+                mesh=mesh, in_specs=P("d", None), out_specs=P("d", None),
+                check_vma=False,
+            )
+        )
+        got = np.asarray(f(x)).reshape(8, 4, 6)
+        ref = np.asarray(x).reshape(8, 4, 6)[3]
+        for d in range(8):
+            np.testing.assert_array_equal(got[d], ref)
+
+    def test_ring_broadcast_grouped(self):
+        """group=Q sub-ring broadcast: each row group's root-column block
+        reaches exactly its own group."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dla_tpu.kernels.collectives import ring_broadcast
+
+        pg, qg = 2, 4
+        mesh = Mesh(np.asarray(jax.devices()[: pg * qg]), ("d",))
+        x = jnp.arange(8 * 4 * 6, dtype=jnp.float32).reshape(32, 6)
+        f = jax.jit(
+            jax.shard_map(
+                lambda xl: ring_broadcast(xl, "d", 2, group=qg),
+                mesh=mesh, in_specs=P("d", None), out_specs=P("d", None),
+                check_vma=False,
+            )
+        )
+        got = np.asarray(f(x)).reshape(pg * qg, 4, 6)
+        blocks = np.asarray(x).reshape(pg * qg, 4, 6)
+        for r in range(pg):
+            for c in range(qg):
+                np.testing.assert_array_equal(got[r * qg + c], blocks[r * qg + 2])
+
+    def test_grouped_subring_rejects_nondivisible(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dla_tpu.kernels.collectives import ring_all_gather
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+        x = jnp.ones((16, 4))
+        with pytest.raises(Exception, match="not a multiple of group"):
+            jax.shard_map(
+                lambda xl: ring_all_gather(xl, "d", group=3),
+                mesh=mesh, in_specs=P("d", None), out_specs=P("d", None),
+                check_vma=False,
+            )(x)
+
 
 class TestFlopAccounting:
     """VERDICT r1 #3 'done' criterion: the distributed program's executed
@@ -264,3 +352,69 @@ class TestFlopAccounting:
         # boundary tiles are runtime-skipped) and models triangular_solve
         # pessimistically at nb=8.
         assert acc["executed"] <= xla_flops * 1.05, (acc["executed"], xla_flops)
+
+
+class TestColumnCyclicRing:
+    """Flat-mesh column-cyclic POTRF with the Pallas RDMA ring as the panel
+    data plane — the supported wiring of the ring collective into a real
+    factorization (multi-axis meshes are rejected by upstream Pallas DMA;
+    documented in kernels/collectives.py)."""
+
+    @pytest.mark.parametrize("n,nb,ndev", [(128, 16, 8), (256, 16, 4)])
+    def test_matches_lapack_fp64(self, n, nb, ndev):
+        import scipy.linalg
+
+        from dla_tpu.ops import plgsy
+        from dla_tpu.parallel import (
+            from_dense_cols,
+            make_flat_mesh,
+            potrf_column_cyclic_ring,
+            to_dense_cols,
+        )
+
+        mesh = make_flat_mesh(ndev)
+        a = plgsy(n, seed=51, dtype=jnp.float64)
+        x = from_dense_cols(a, nb, mesh)
+        lx = potrf_column_cyclic_ring(x, nb, mesh)
+        l = np.tril(to_dense_cols(lx, nb, mesh))
+        ref = scipy.linalg.cholesky(np.asarray(a), lower=True)
+        np.testing.assert_allclose(l, ref, rtol=1e-9, atol=1e-12)
+
+    def test_gate_1e10(self):
+        from dla_tpu.ops import plgsy
+        from dla_tpu.parallel import (
+            from_dense_cols,
+            make_flat_mesh,
+            potrf_column_cyclic_ring,
+            to_dense_cols,
+        )
+
+        n, nb = 256, 16
+        mesh = make_flat_mesh(8)
+        a = plgsy(n, seed=7, dtype=jnp.float64)
+        lx = potrf_column_cyclic_ring(from_dense_cols(a, nb, mesh), nb, mesh)
+        l = np.tril(to_dense_cols(lx, nb, mesh))
+        asym = np.asarray(a)
+        res = np.abs(asym - l @ l.T).max() / np.abs(asym).max()
+        assert res < 1e-10, res
+
+    def test_rejects_multiaxis_mesh(self):
+        from dla_tpu.parallel import make_mesh, potrf_column_cyclic_ring
+
+        x = jnp.ones((64, 64))
+        with pytest.raises(ValueError, match="flat 1-D mesh"):
+            potrf_column_cyclic_ring(x, 8, make_mesh(2, 4))
+
+    def test_roundtrip_layout(self):
+        from dla_tpu.parallel import (
+            from_dense_cols,
+            make_flat_mesh,
+            to_dense_cols,
+        )
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((64, 64)))
+        mesh = make_flat_mesh(4)
+        np.testing.assert_array_equal(
+            to_dense_cols(from_dense_cols(a, 8, mesh), 8, mesh), np.asarray(a)
+        )
