@@ -63,33 +63,44 @@ def plot_perf_grid(
     df = median_over_repeats(load_bench_csv(csv_path))
     if "precision" not in df:
         df = df.assign(precision="highest")
-    configs = sorted(df.groupby(["mode", "mesh", "dtype", "precision"]).groups)
+    if "device" not in df:
+        df = df.assign(device="tpu")
+    configs = sorted(
+        df.groupby(["mode", "mesh", "dtype", "precision", "device"]).groups
+    )
     ncols = max(1, len(configs))
     fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 4.5), squeeze=False)
     for ax, key in zip(axes[0], configs):
-        mode, mesh, dtype, prec = key
+        mode, mesh, dtype, prec, device = key
         sub = df[
             (df["mode"] == mode) & (df["mesh"] == mesh)
             & (df["dtype"] == dtype) & (df["precision"] == prec)
+            & (df["device"] == device)
         ]
-        peak = PEAK_BY_PRECISION.get(str(prec), peak_gflops)
+        # MXU peak-fraction annotations only make sense on the real chip;
+        # virtual-CPU (distributed-correctness) panels get none.
+        peak = (
+            PEAK_BY_PRECISION.get(str(prec), peak_gflops)
+            if device != "cpu" else None
+        )
         for nb, g in sub.groupby("NB"):
             g = g.sort_values("N")
             ax.plot(g["N"], g["gflops"], marker="o", label=f"NB={nb}")
         if len(sub):
             best = sub.loc[sub["gflops"].idxmax()]
+            frac = f" = {best['gflops'] / peak:.0%} of peak" if peak else ""
             ax.annotate(
-                f"Best: {best['gflops']:.0f} GF/s = "
-                f"{best['gflops'] / peak:.0%} of peak\n"
+                f"Best: {best['gflops']:.0f} GF/s{frac}\n"
                 f"(N={best['N']}, NB={best['NB']})",
                 xy=(best["N"], best["gflops"]),
                 xytext=(0.45, 0.15),
                 textcoords="axes fraction",
                 arrowprops={"arrowstyle": "->"},
             )
-        ax.axhline(peak, ls="--", c="gray", lw=1,
-                   label=f"MXU peak ({prec})")
-        ax.set_title(f"{mode} {mesh} {dtype} {prec}")
+        if peak:
+            ax.axhline(peak, ls="--", c="gray", lw=1,
+                       label=f"MXU peak ({prec})")
+        ax.set_title(f"{mode} {mesh} {dtype} {prec} [{device}]")
         ax.set_xlabel("N")
         ax.set_ylabel("GFLOP/s")
         ax.legend(fontsize=7)
