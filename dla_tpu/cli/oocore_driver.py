@@ -37,10 +37,14 @@ def main(argv=None) -> int:
     ap.add_argument("--p", type=int, default=1, help="mesh rows (PxQ device grid)")
     ap.add_argument("--q", type=int, default=1, help="mesh cols — p*q>1 runs the "
                     "distributed out-of-core path (panels sharded over the mesh)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) before any computation")
     args = ap.parse_args(argv)
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 

@@ -305,6 +305,10 @@ def main(argv=None) -> int:
           f"{gflops(potrf_flops(cfg.n), t1 - t0):.2f} Gflop/s (compile)")
     times = []
     for i in range(1, max(1, args.repeats) + 1):
+        # drop the previous repeat's factor before re-running: holding it
+        # across run() adds a full N² buffer to peak HBM (OOM at N=32768
+        # fp32 on a 16 GiB chip); only the last repeat's L is validated
+        l = None
         t0 = time.perf_counter()
         l = run()
         t1 = time.perf_counter()
