@@ -39,7 +39,7 @@ def log(*a):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 28672))
+    n = int(os.environ.get("BENCH_N", 32768))
     nb = int(os.environ.get("BENCH_NB", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 3))
     panel = os.environ.get("BENCH_PANEL", "blocktrsm")
@@ -111,6 +111,8 @@ def main():
         log(f"[{prec}] compile+first run: {compile_s:.1f}s")
         times = []
         for i in range(iters):
+            l = None  # drop the previous factor BEFORE regenerating: holding
+            # both adds a full N² buffer to peak HBM (OOM at N=32768)
             a = gen(jnp.float32((i + 1) * 1e-3))
             _ = float(a[0, 0])  # materialize before the clock starts
             t0 = time.perf_counter()

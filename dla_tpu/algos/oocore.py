@@ -101,10 +101,13 @@ class _Sidecar:
     write-tmp-then-rename, so every crash point recovers cleanly.
     """
 
-    def __init__(self, path: str, n: int, panel: int):
+    def __init__(self, path: str, n: int, panel: int, store=None):
         self.path = path
         self.scratch = path + ".commit.npy"
         self.n, self.panel = n, panel
+        # A DirectPanelStore brings its own O_DIRECT scratch region (a .npy
+        # staging copy would crawl through this VM's pathological page cache)
+        self._store = store if hasattr(store, "write_scratch") else None
         self.done: set[int] = set()
         self.committing: int | None = None
         if os.path.exists(path):
@@ -125,10 +128,13 @@ class _Sidecar:
 
     def stage(self, j: int, data: np.ndarray):
         """Durably record panel j's factored data before the store is touched."""
-        tmp = self.scratch + ".tmp"
-        with open(tmp, "wb") as f:
-            np.save(f, data)
-        os.replace(tmp, self.scratch)
+        if self._store is not None:
+            self._store.write_scratch(data)
+        else:
+            tmp = self.scratch + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, data)
+            os.replace(tmp, self.scratch)
         self.committing = j
         self._write()
 
@@ -136,7 +142,7 @@ class _Sidecar:
         self.done.add(j)
         self.committing = None
         self._write()
-        if os.path.exists(self.scratch):
+        if self._store is None and os.path.exists(self.scratch):
             os.remove(self.scratch)
 
     def recover(self, store: HostTileStore):
@@ -145,7 +151,12 @@ class _Sidecar:
         j = self.committing
         if j is None:
             return
-        if os.path.exists(self.scratch):
+        if self._store is not None:
+            # the sidecar's `committing` is only written after the scratch
+            # region write completed, so the scratch is whole
+            self._store.commit_scratch(j)
+            self.commit(j)
+        elif os.path.exists(self.scratch):
             data = np.load(self.scratch)
             store.unpack(j * self.panel, j * self.panel, data)
             self.commit(j)
@@ -215,9 +226,17 @@ def potrf_outofcore(
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh.axis_names, None)
         )
-    side = _Sidecar(progress_path, n, panel) if progress_path else None
+    side = _Sidecar(progress_path, n, panel, store=store) if progress_path else None
     if side:
         side.recover(store)
+    # Pooled stores (DirectPanelStore) take their staging buffers back at the
+    # END of each panel iteration: jax zero-copy-aliases aligned host buffers
+    # on the CPU backend, so a buffer is only reusable once every computation
+    # reading it has executed — the iteration-end d2h readback of the factored
+    # panel is exactly that sync point (the final panel value depends on every
+    # update GEMM, which each read one staged buffer).
+    releases = getattr(store, "release", None)
+    pending: list = []
 
     stats = {
         "pack_s": 0.0, "h2d_wait_s": 0.0, "writeback_s": 0.0,
@@ -235,7 +254,9 @@ def potrf_outofcore(
         if sharding is not None:
             arr = jax.device_put(buf, sharding)  # row-sharded over the mesh
         else:
-            arr = jnp.asarray(buf)  # async h2d dispatch
+            arr = jnp.asarray(buf)  # async h2d dispatch (may alias buf!)
+        if releases is not None:
+            pending.append(buf)
         stats["pack_s"] += t1 - t0
         stats["bytes_in"] += ph * panel * item
         return arr
@@ -271,6 +292,13 @@ def potrf_outofcore(
             stats["writeback_s"] += time.perf_counter() - t0
             stats["bytes_out"] += host_pj.nbytes
             stats["panels"] += 1
+            if releases is not None:
+                # the d2h readback above proves every update consumed its
+                # staged buffer — safe to recycle them all now
+                del pj, host_pj
+                for buf in pending:
+                    releases(buf)
+                pending.clear()
             if on_panel:
                 on_panel(j, npan)
     finally:

@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--seed", type=int, default=51)
     ap.add_argument("--matrix", default=None, help="disk-backed store path (RAM if omitted)")
+    ap.add_argument("--store", default="flat", choices=["flat", "panel"],
+                    help="disk layout: 'flat' = square np.memmap; 'panel' = "
+                    "panel-blocked lower-triangle-only with O_DIRECT "
+                    "sequential I/O (half the bytes, bypasses the page "
+                    "cache — the at-scale backend; requires --matrix)")
     ap.add_argument("--progress", default=None, help="resume sidecar JSON path")
     ap.add_argument("--probes", type=int, default=2, help="Freivalds validation probes (0 = skip)")
     ap.add_argument("--orig", default=None,
@@ -51,22 +56,39 @@ def main(argv=None) -> int:
     import numpy as np
 
     from dla_tpu.algos.oocore import potrf_outofcore
-    from dla_tpu.runtime.staging import HostTileStore
+    from dla_tpu.runtime.staging import (
+        DirectPanelStore,
+        HostTileStore,
+        freivalds_streaming,
+    )
     from dla_tpu.utils.flops import gflops, potrf_flops
 
     dtype = np.float32 if args.dtype == "float32" else np.float64
     n = args.n
+    panel_store = args.store == "panel"
+    if panel_store and not args.matrix:
+        ap.error("--store panel requires --matrix")
+    item = np.dtype(dtype).itemsize
+    gib = (n * (n + args.panel) // 2 if panel_store else n * n) * item / 2**30
     print(
         f"[oocore] N={n} panel={args.panel} NB={args.nb} dtype={args.dtype} "
-        f"store={'disk:' + args.matrix if args.matrix else 'ram'} "
-        f"({n * n * np.dtype(dtype).itemsize / 2**30:.1f} GiB)",
+        f"store={args.store}:{args.matrix or 'ram'} ({gib:.1f} GiB)",
         flush=True,
     )
-    store = HostTileStore(n, dtype, path=args.matrix)
+    if panel_store:
+        store = DirectPanelStore(n, dtype, path=args.matrix, panel=args.panel)
+        if not store.direct:
+            print("[oocore] note: filesystem rejected O_DIRECT, buffered I/O",
+                  flush=True)
+    else:
+        store = HostTileStore(n, dtype, path=args.matrix)
     fresh = args.progress is None or not __import__("os").path.exists(args.progress)
     if fresh:
         print("[oocore] generating SPD matrix (native, seeded)...", flush=True)
+        gen0 = time.perf_counter()
         store.fill_plgsy(seed=args.seed)
+        print(f"[oocore] generated in {time.perf_counter() - gen0:.1f}s",
+              flush=True)
 
     mesh = None
     if args.p * args.q > 1:
@@ -109,20 +131,28 @@ def main(argv=None) -> int:
     rc = 0
     if args.probes:
         # Regenerate A from the seed for validation (plgsy is deterministic
-        # and the native Freivalds reads only the lower triangles, so no
+        # and validation reads only the lower triangles, so no
         # pre-factorization copy of A is needed — validation works the same
         # on fresh runs and after a kill/resume, and peak host memory during
         # the factorization stays at one matrix).
-        print("[oocore] regenerating A for Freivalds validation...", flush=True)
-        orig = HostTileStore(n, dtype, path=args.orig)
-        orig.fill_plgsy(seed=args.seed)
-        res = orig.freivalds_residual(store, probes=args.probes)
-        print(f"freivalds ||(A - LL^T)x|| / (||A|| ||x||) = {res:.2e}")
+        v0 = time.perf_counter()
+        if panel_store:
+            # fully streaming: one disk pass over L + regeneration of A
+            print("[oocore] streaming Freivalds validation...", flush=True)
+            res = freivalds_streaming(store, seed=args.seed, probes=args.probes)
+        else:
+            print("[oocore] regenerating A for Freivalds validation...",
+                  flush=True)
+            orig = HostTileStore(n, dtype, path=args.orig)
+            orig.fill_plgsy(seed=args.seed)
+            res = orig.freivalds_residual(store, probes=args.probes)
+            orig.close()
+        print(f"freivalds ||(A - LL^T)x|| / (||A|| ||x||) = {res:.2e} "
+              f"({time.perf_counter() - v0:.1f}s)")
         gate = 1e-10 if dtype == np.float64 else n * 2e-7
         ok = np.isfinite(res) and res < gate
         print("PASS" if ok else "FAIL", f"(gate {gate:g})")
         rc = 0 if ok else 1
-        orig.close()
     store.close()
     return rc
 

@@ -60,6 +60,16 @@ def lib() -> ctypes.CDLL:
             fn = getattr(l, f"dla_freivalds_{suf}")
             fn.restype = f64
             fn.argtypes = [vp, vp, i64, i64, u32]
+        i32 = ctypes.c_int32
+        l.dla_open_file.restype = i64
+        l.dla_open_file.argtypes = [ctypes.c_char_p, i32, i32]
+        l.dla_close_file.argtypes = [i64]
+        l.dla_truncate_file.restype = i64
+        l.dla_truncate_file.argtypes = [i64, i64]
+        l.dla_pread_full.restype = i64
+        l.dla_pread_full.argtypes = [i64, vp, i64, i64]
+        l.dla_pwrite_full.restype = i64
+        l.dla_pwrite_full.argtypes = [i64, vp, i64, i64]
         _lib = l
         return _lib
 
@@ -177,3 +187,298 @@ class HostTileStore:
             )
             worst = max(worst, err / na)
         return worst
+
+
+# ---------------------------------------------------------------------------
+# Panel-blocked direct-I/O disk store (the at-scale out-of-core backend)
+# ---------------------------------------------------------------------------
+
+_ALIGN = 4096
+
+
+def _aligned_empty(nbytes: int) -> np.ndarray:
+    """A 4096-aligned byte buffer (GC-safe: over-allocated numpy slice)."""
+    raw = np.empty(nbytes + _ALIGN, np.uint8)
+    off = (-raw.ctypes.data) % _ALIGN
+    return raw[off : off + nbytes]
+
+
+class DirectPanelStore:
+    """Disk-backed lower-triangle matrix stored as contiguous column panels,
+    read/written with O_DIRECT sequential I/O.
+
+    Motivation (measured on this VM): page-cache page insertion costs
+    ~0.2-0.5 ms each, so buffered writes / ``np.memmap`` first-touch run at
+    ~18 MB/s — while O_DIRECT streams at ~430-570 MB/s. ``np.memmap`` (the
+    :class:`HostTileStore` disk mode) is therefore unusable at the
+    BASELINE config-5 scale; this store bypasses the page cache entirely.
+
+    Layout: panel ``j`` holds rows ``j*panel .. n`` of columns
+    ``j*panel .. (j+1)*panel`` (the lower-triangle part only — half the
+    bytes of a square store), row-major with leading dimension ``panel``,
+    stored contiguously. The left-looking out-of-core POTRF
+    (:func:`dla_tpu.algos.oocore.potrf_outofcore`) reads exactly
+    row-suffixes of whole panels, so every disk access is one large
+    sequential transfer. A scratch region (one max-size panel) at the end
+    of the file backs transactional panel commits.
+
+    Parity note: this is the TPU-native replacement for the reference's
+    distributed blob store (the ArmoniK client holds the full matrix,
+    workers hold O(B²) — SURVEY §5.7, ``client_distrib.cpp:280-309``): the
+    "blobs" are column panels, content-addressed by panel index, and the
+    pinned staging buffers (``starpu_malloc``,
+    ``v6_script_cholesky_w_residu_malloc.c:41-58``) become the 4096-aligned
+    pooled buffers below.
+    """
+
+    def __init__(self, n: int, dtype=np.float32, *, path: str, panel: int,
+                 direct: bool = True):
+        self.n = int(n)
+        self.panel = int(panel)
+        self.dtype = np.dtype(dtype)
+        self._suf = _suf(dtype)
+        self._lib = lib()
+        self.path = path
+        if self.n % self.panel:
+            raise ValueError(f"n={n} must be a multiple of panel={panel}")
+        item = self.dtype.itemsize
+        if direct and (self.panel * item) % _ALIGN:
+            raise ValueError(
+                f"panel width {panel} x itemsize {item} must be a multiple "
+                f"of {_ALIGN} bytes for O_DIRECT (use direct=False for "
+                "tiny test panels)"
+            )
+        self.npan = self.n // self.panel
+        self._offsets = []
+        off = 0
+        for j in range(self.npan):
+            self._offsets.append(off)
+            off += (self.n - j * self.panel) * self.panel * item
+        self._scratch_off = off
+        total = off + self.n * self.panel * item  # + scratch region
+        existed = os.path.exists(path)
+        fd = self._lib.dla_open_file(path.encode(), 1, 1 if direct else 0)
+        if fd < 0 and direct:
+            # filesystem rejects O_DIRECT (e.g. tmpfs) — buffered fallback
+            fd = self._lib.dla_open_file(path.encode(), 1, 0)
+            direct = False
+        if fd < 0:
+            raise OSError(-fd, os.strerror(-fd), path)
+        self._fd = fd
+        self.direct = bool(direct)
+        if not existed or os.stat(path).st_size < total:
+            rc = self._lib.dla_truncate_file(fd, total)
+            if rc < 0:
+                raise OSError(-rc, os.strerror(-rc), path)
+        # pooled aligned buffers: one free list of raw byte arrays, best-fit
+        # on size; steady state is a handful of max-panel-size buffers.
+        self._free: list[np.ndarray] = []
+        self._out: dict[int, np.ndarray] = {}
+        self._plock = threading.Lock()
+
+    # -- buffer pool ---------------------------------------------------------
+
+    def _acquire(self, h: int, w: int) -> np.ndarray:
+        nbytes = h * w * self.dtype.itemsize
+        with self._plock:
+            best = None
+            for i, raw in enumerate(self._free):
+                if raw.nbytes >= nbytes and (
+                    best is None or raw.nbytes < self._free[best].nbytes
+                ):
+                    best = i
+            raw = self._free.pop(best) if best is not None else _aligned_empty(nbytes)
+            view = raw[:nbytes].view(self.dtype).reshape(h, w)
+            self._out[id(view)] = raw
+            return view
+
+    def release(self, buf: np.ndarray) -> None:
+        """Return a buffer obtained from :meth:`pack` to the pool. Only call
+        once the device copy of the buffer is complete (on the CPU backend
+        ``device_put`` copies synchronously, so immediately after is safe)."""
+        with self._plock:
+            raw = self._out.pop(id(buf), None)
+            if raw is not None:
+                self._free.append(raw)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def close(self):
+        if getattr(self, "_fd", None) is not None:
+            self._lib.dla_close_file(self._fd)
+            self._fd = None
+
+    def __del__(self):  # pragma: no cover - finalizer
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- I/O (same pack/unpack surface the oocore algorithm uses) ------------
+
+    def _panel_of(self, j0: int) -> int:
+        if j0 % self.panel:
+            raise ValueError(f"column {j0} is not panel-aligned")
+        return j0 // self.panel
+
+    def _io(self, op, buf: np.ndarray, file_off: int, what: str):
+        rc = op(self._fd, buf.ctypes.data, buf.nbytes, file_off)
+        if rc != buf.nbytes:
+            err = os.strerror(-rc) if rc < 0 else f"short {what} ({rc} bytes)"
+            raise OSError(f"{what} of {buf.nbytes} B at {file_off}: {err}")
+
+    def pack(self, i0: int, j0: int, h: int, w: int) -> np.ndarray:
+        """Read rows ``i0 .. i0+h`` of panel ``j0/panel`` into a pooled
+        aligned buffer (one sequential disk read). Requires ``w == panel``,
+        ``i0 >= j0`` (lower triangle) and a row-suffix (``i0 + h == n``) —
+        exactly the out-of-core algorithm's access pattern."""
+        k = self._panel_of(j0)
+        if w != self.panel or i0 < j0 or i0 + h != self.n:
+            raise ValueError(
+                f"unsupported pack (i0={i0}, j0={j0}, h={h}, w={w}): the "
+                "panel store serves whole-panel row-suffixes only"
+            )
+        item = self.dtype.itemsize
+        off = self._offsets[k] + (i0 - j0) * self.panel * item
+        buf = self._acquire(h, w)
+        self._io(self._lib.dla_pread_full, buf, off, "pread")
+        return buf
+
+    def unpack(self, i0: int, j0: int, src: np.ndarray):
+        """Write a full factored panel back (one sequential disk write)."""
+        k = self._panel_of(j0)
+        if i0 != j0 or src.shape != (self.n - i0, self.panel):
+            raise ValueError(
+                f"unsupported unpack at ({i0},{j0}) shape {src.shape}"
+            )
+        buf = self._acquire(*src.shape)
+        np.copyto(buf, src, casting="no")
+        try:
+            self._io(self._lib.dla_pwrite_full, buf, self._offsets[k], "pwrite")
+        finally:
+            self.release(buf)
+
+    # -- transactional scratch region (used by the oocore sidecar) -----------
+
+    def write_scratch(self, src: np.ndarray):
+        """Durably stage a factored panel in the scratch region."""
+        buf = self._acquire(*src.shape)
+        np.copyto(buf, src, casting="no")
+        try:
+            self._io(self._lib.dla_pwrite_full, buf, self._scratch_off, "pwrite")
+        finally:
+            self.release(buf)
+
+    def commit_scratch(self, j: int):
+        """Replay scratch → panel ``j`` (crash recovery: the scratch region
+        is the durable copy; the panel itself may hold a torn write)."""
+        h = self.n - j * self.panel
+        buf = self._acquire(h, self.panel)
+        try:
+            self._io(self._lib.dla_pread_full, buf, self._scratch_off, "pread")
+            self._io(self._lib.dla_pwrite_full, buf, self._offsets[j], "pwrite")
+        finally:
+            self.release(buf)
+
+    # -- generation ----------------------------------------------------------
+
+    def fill_plgsy(self, *, seed: int = 51, bump: float | None = None,
+                   on_panel=None):
+        """Stream the seeded SPD matrix to disk panel by panel (native
+        generator, bit-identical to the JAX/host generators)."""
+        if bump is None:
+            bump = float(self.n)
+        gen = getattr(self._lib, f"dla_plgsy_{self._suf}")
+        for k in range(self.npan):
+            k0 = k * self.panel
+            h = self.n - k0
+            buf = self._acquire(h, self.panel)
+            try:
+                gen(buf.ctypes.data, self.panel, seed & 0xFFFFFFFF,
+                    k0, k0, h, self.panel, bump)
+                self._io(self._lib.dla_pwrite_full, buf, self._offsets[k],
+                         "pwrite")
+            finally:
+                self.release(buf)
+            if on_panel:
+                on_panel(k, self.npan)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Freivalds validation for the panel store
+# ---------------------------------------------------------------------------
+
+
+def _mix32(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint32, copy=True)
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(0x85EBCA6B)
+    x ^= x >> np.uint32(13)
+    x *= np.uint32(0xC2B2AE35)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def _probe_vec(n: int, seed: int) -> np.ndarray:
+    """The native runtime's Freivalds probe vector (tilestore.cpp probe_x),
+    vectorized: uniform in [-0.5, 0.5) from a per-index hash."""
+    i = np.arange(n, dtype=np.uint32)
+    h = _mix32(i * np.uint32(0x9E3779B9) ^ np.uint32(seed & 0xFFFFFFFF))
+    return (h >> np.uint32(8)).astype(np.float64) * (1.0 / 16777216.0) - 0.5
+
+
+def freivalds_streaming(
+    store: DirectPanelStore, *, seed: int = 51, bump: float | None = None,
+    probes: int = 4, on_panel=None,
+) -> float:
+    """Freivalds residual for a factored :class:`DirectPanelStore`, fully
+    streaming: one pass over the L panels on disk plus one regeneration pass
+    of A from its seed (no second matrix is ever materialized).
+
+    Per probe x:  ``||(A − L·Lᵀ)x||_inf / (||A||_inf · ||x||_inf)`` with all
+    matvecs accumulated in fp64; A is regenerated in the *store dtype* so
+    the comparison is against exactly the matrix that was factored.
+    Returns the max over probes. O(N²) compute, ~1.5 passes of disk I/O.
+    """
+    n, w = store.n, store.panel
+    if bump is None:
+        bump = float(n)
+    x = np.stack([_probe_vec(n, 0xC0FFEE ^ p) for p in range(probes)], axis=1)
+    xinf = np.abs(x).max(axis=0)
+    y = np.zeros((n, probes))   # A x
+    z = np.zeros((n, probes))   # L (L^T x)
+    rowsum = np.zeros(n)        # streaming ||A||_inf
+    gen = getattr(store._lib, f"dla_plgsy_{store._suf}")
+    for k in range(store.npan):
+        k0 = k * w
+        h = n - k0
+        # --- L panel: u = B^T x[k0:], then z[k0:] += B u (B's diagonal
+        # block is lower-triangular — the factor wrote tril only)
+        lbuf = store.pack(k0, k0, h, w)
+        b = lbuf.astype(np.float64)
+        store.release(lbuf)
+        b[:w] = np.tril(b[:w])  # guard: ignore any stale upper bytes
+        z[k0:] += b @ (b.T @ x[k0:])
+        # --- A panel: regenerated in store dtype (exactly what was factored)
+        abuf = store._acquire(h, w)
+        gen(abuf.ctypes.data, w, seed & 0xFFFFFFFF, k0, k0, h, w, bump)
+        a = abuf.astype(np.float64)
+        store.release(abuf)
+        # lower-panel contribution: rows k0..n get columns k0..k0+w
+        y[k0:] += a @ x[k0 : k0 + w]
+        rowsum[k0:] += np.abs(a).sum(axis=1)
+        # symmetric (upper) contribution: rows k0..k0+w get columns k0+w..n
+        strict = a[w:]
+        y[k0 : k0 + w] += strict.T @ x[k0 + w :]
+        rowsum[k0 : k0 + w] += np.abs(strict).sum(axis=0)
+        if on_panel:
+            on_panel(k, store.npan)
+    norm_a = rowsum.max()
+    err = np.abs(y - z).max(axis=0)
+    return float((err / xinf).max() / norm_a)

@@ -4,7 +4,11 @@ import numpy as np
 import pytest
 import scipy.linalg
 
-from dla_tpu.runtime.staging import HostTileStore
+from dla_tpu.runtime.staging import (
+    DirectPanelStore,
+    HostTileStore,
+    freivalds_streaming,
+)
 
 
 class TestNativeLib:
@@ -166,6 +170,126 @@ class TestOutOfCore:
             got = np.tril(st2.array)
         ref = scipy.linalg.cholesky(a_sym, lower=True)
         np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_panel_store_matches_lapack(self, tmp_path):
+        """The O_DIRECT panel-blocked store (the at-scale disk backend)
+        through the same out-of-core algorithm, validated by the streaming
+        Freivalds pass and against LAPACK."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        n, panel = 1536, 512  # f64: 512 * 8 B rows = one 4096 B sector
+        p = str(tmp_path / "panels.bin")
+        with DirectPanelStore(n, np.float64, path=p, panel=panel) as st:
+            st.fill_plgsy(seed=51)
+            potrf_outofcore(st, panel=panel, nb=128)
+            res = freivalds_streaming(st, seed=51, probes=4)
+            assert res < 1e-10, res
+            lgot = np.zeros((n, n))
+            for j in range(st.npan):
+                j0 = j * panel
+                b = st.pack(j0, j0, n - j0, panel)
+                lgot[j0:, j0 : j0 + panel] = b
+                st.release(b)
+        with HostTileStore(n, np.float64) as ref:
+            ref.fill_plgsy(seed=51)
+            a_sym = np.tril(ref.array) + np.tril(ref.array, -1).T
+        lref = scipy.linalg.cholesky(a_sym, lower=True)
+        np.testing.assert_allclose(np.tril(lgot), lref, rtol=1e-9, atol=1e-9)
+
+    def test_panel_store_buffered_fallback(self, tmp_path):
+        """direct=False (buffered I/O, e.g. for filesystems without
+        O_DIRECT) permits unaligned tiny panels and stays correct."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        n, panel = 128, 32
+        p = str(tmp_path / "panels.bin")
+        with DirectPanelStore(
+            n, np.float64, path=p, panel=panel, direct=False
+        ) as st:
+            st.fill_plgsy(seed=7)
+            potrf_outofcore(st, panel=panel, nb=16)
+            assert freivalds_streaming(st, seed=7, probes=2) < 1e-10
+
+    def test_panel_store_rejects_unaligned_direct(self, tmp_path):
+        with pytest.raises(ValueError, match="multiple of 4096"):
+            DirectPanelStore(
+                128, np.float64, path=str(tmp_path / "x.bin"), panel=32
+            )
+
+    def test_panel_store_access_pattern_guard(self, tmp_path):
+        st = DirectPanelStore(
+            1024, np.float64, path=str(tmp_path / "p.bin"), panel=512
+        )
+        with pytest.raises(ValueError, match="row-suffixes"):
+            st.pack(0, 0, 512, 512)  # not a row-suffix (h != n - i0)
+        with pytest.raises(ValueError, match="panel-aligned"):
+            st.pack(0, 100, 1024, 512)
+        st.close()
+
+    def test_streaming_freivalds_matches_dense(self, tmp_path):
+        """The numpy probe generator must reproduce the native runtime's
+        probe_x hash: an identically corrupted factor must produce the same
+        residual through the dense (C++) and streaming (panel-store) paths."""
+        n, panel = 128, 32
+        with HostTileStore(n, np.float64) as sa:
+            sa.fill_plgsy(seed=51)
+            a_sym = np.tril(sa.array) + np.tril(sa.array, -1).T
+            l = scipy.linalg.cholesky(a_sym, lower=True)
+            l[5, 3] += 1e-3  # a deliberate defect both paths must price alike
+            with HostTileStore(n, np.float64) as sl:
+                sa.array[:] = np.tril(a_sym)
+                sl.array[:] = l
+                dense = sa.freivalds_residual(sl, probes=3)
+        with DirectPanelStore(
+            n, np.float64, path=str(tmp_path / "l.bin"), panel=panel,
+            direct=False,
+        ) as st:
+            for j in range(st.npan):
+                j0 = j * panel
+                st.unpack(j0, j0, np.ascontiguousarray(l[j0:, j0 : j0 + panel]))
+            streaming = freivalds_streaming(st, seed=51, probes=3)
+        assert dense > 1e-7  # the defect is visible
+        np.testing.assert_allclose(streaming, dense, rtol=1e-10)
+
+    def test_panel_store_torn_writeback_recovers(self, tmp_path):
+        """Torn final write on the panel store: the scratch REGION (not a
+        .npy file — buffered page-cache writes crawl on this VM) replays the
+        commit on resume."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        n, panel = 128, 32
+        mat = str(tmp_path / "p.bin")
+        prog = str(tmp_path / "progress.json")
+
+        class Torn(Exception):
+            pass
+
+        with DirectPanelStore(
+            n, np.float64, path=mat, panel=panel, direct=False
+        ) as st:
+            st.fill_plgsy(seed=51)
+            real_unpack = st.unpack
+            calls = []
+
+            def torn_unpack(i0, j0, src):
+                calls.append(i0)
+                if len(calls) == 2:  # panel j=1: tear the write, then die
+                    real_unpack(i0, j0, np.full_like(src, np.nan))
+                    raise Torn
+                return real_unpack(i0, j0, src)
+
+            st.unpack = torn_unpack
+            with pytest.raises(Torn):
+                potrf_outofcore(st, panel=panel, nb=16, progress_path=prog)
+
+        with DirectPanelStore(
+            n, np.float64, path=mat, panel=panel, direct=False
+        ) as st2:
+            b = st2.pack(panel, panel, n - panel, panel)
+            assert np.isnan(b).any()  # the tear is on disk
+            st2.release(b)
+            potrf_outofcore(st2, panel=panel, nb=16, progress_path=prog)
+            assert freivalds_streaming(st2, seed=51, probes=2) < 1e-10
 
     def test_checkpoint_resume(self, tmp_path):
         """Kill-and-resume: factor the first panels, 'crash', resume from
