@@ -3,13 +3,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N, ...}
 
-``value`` is measured at the library-default ``highest`` matmul precision
-(true fp32 accumulation — 6 MXU passes on this v5e, measured ceiling
-~31 TF/s, ``results/micro2_r2.jsonl``). Lower-precision tiers are also
-measured (time budget permitting) and reported as ``tiers`` entries:
-``high`` = 3-pass bf16x3 (~63 TF/s ceiling — the tier matching the
-"fp32-effective peak" accounting of BASELINE.md), ``default`` = 1-pass bf16
-(~182 TF/s ceiling). Every tier carries its own residual so the
+``value`` is measured at the library-default ``high`` matmul precision
+(3-pass bf16x3 — the TPU's fp32-effective mode, the tier BASELINE.md's
+"fp32-effective peak ~65.7 TF/s" accounting corresponds to; measured
+end-to-end it matches true-fp32 ``highest`` in residual at 1.56× the
+throughput, see utils/precision.py). The other tiers are also measured
+(time budget permitting) and reported as ``tiers`` entries: ``highest`` =
+6-pass true fp32 (~31.4 TF/s ceiling), ``default`` = 1-pass bf16 (~182
+TF/s ceiling). Every tier carries its own residual so the
 precision/throughput trade is machine-readable (VERDICT r1 "what's weak" #1).
 
 Baseline: the reference's repo-best 204.8 GFLOP/s — fp64 DPOTRF at N=16000,
@@ -57,7 +58,9 @@ def main():
         else ("lax" if p == "highest" else "twolevel")
     )
     diag = diag_env
-    tiers = os.environ.get("BENCH_PRECISIONS", "highest,default,high").split(",")
+    # headline tier first (the library default), so a tight time budget
+    # still yields the headline number
+    tiers = os.environ.get("BENCH_PRECISIONS", "high,highest,default").split(",")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
     import jax
@@ -137,13 +140,19 @@ def main():
                 _ = float(l2[n - 1, n - 1])
             log(f"[{prec}] profiler trace written to {trace_dir}/{prec}")
 
-        @jax.jit
-        def check(l, s):
-            a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
-            a = a.at[idx, idx].add(s)
-            return residual_potrf(a, l)
+        # validate OUTSIDE the check program (regenerating A inside it adds
+        # plgsy + diag-add temporaries — 16G > 15.75G HBM at N=32768); both
+        # operands are donated and the generator output is symmetric by
+        # construction, mirroring the driver's validation footprint
+        import functools
 
-        res = float(check(l, jnp.float32(iters * 1e-3)))
+        a = gen(jnp.float32(iters * 1e-3))
+        check = jax.jit(
+            functools.partial(residual_potrf, assume_symmetric=True),
+            donate_argnums=(0, 1),
+        )
+        res = float(check(a, l))
+        l = None  # donated
         log(f"[{prec}] Performance: {gflops:.2f} Gflop/s")
         log(f"[{prec}] ||A - LL^T||_inf / ||A||_inf = {res:.2e}")
         return {"gflops": round(gflops, 1), "residual": res, "compile_s": round(compile_s, 1)}
@@ -161,9 +170,15 @@ def main():
                 continue
         results[prec] = run_tier(prec)
 
-    head = results.get("highest") or next(iter(results.values()))
+    from dla_tpu.utils.precision import DEFAULT as LIB_DEFAULT_PRECISION
+
+    head_tier = (
+        LIB_DEFAULT_PRECISION if LIB_DEFAULT_PRECISION in results
+        else next(iter(results))
+    )
+    head = results[head_tier]
     out = {
-        "metric": f"POTRF fp32(highest) N={n} NB={nb} single-chip",
+        "metric": f"POTRF fp32({head_tier}) N={n} NB={nb} single-chip",
         "value": head["gflops"],
         "unit": "GFLOP/s",
         "vs_baseline": round(head["gflops"] / BASELINE_GFLOPS, 2),

@@ -36,6 +36,8 @@ import sys
 import time
 from typing import Iterable, Sequence
 
+from dla_tpu.utils.precision import DEFAULT as _LIB_DEFAULT
+
 CSV_COLUMNS = [
     "timestamp",
     "scheduler",
@@ -181,7 +183,7 @@ def run_sweep(
                         row.get("dtype", ""),
                         row.get("mode", ""),
                         row.get("mesh", ""),
-                        row.get("precision", "highest") or "highest",
+                        row.get("precision", _LIB_DEFAULT) or _LIB_DEFAULT,
                         int(row["run_idx"]),
                     )
                 )
@@ -203,7 +205,7 @@ def run_sweep(
                                 (n // nb) % mesh[0] or (n // nb) % mesh[1]
                             ):
                                 continue
-                            prec_key = cfg.precision or "highest"
+                            prec_key = cfg.precision or _LIB_DEFAULT
                             if cfg.inproc_repeats and cfg.repeats > 1:
                                 key = (n, nb, dtype, mode,
                                        f"{mesh[0]}x{mesh[1]}", prec_key, 0)
@@ -262,7 +264,7 @@ def _base_row(cfg, n, nb, dtype, mode, mesh, rep) -> dict:
         "mesh": f"{mesh[0]}x{mesh[1]}",
         "dtype": dtype,
         "mode": mode,
-        "precision": cfg.precision or "highest",
+        "precision": cfg.precision or _LIB_DEFAULT,
     }
 
 
@@ -375,7 +377,7 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
         "mesh": f"{mesh[0]}x{mesh[1]}",
         "dtype": dtype,
         "mode": mode,
-        "precision": cfg.precision or "highest",
+        "precision": cfg.precision or _LIB_DEFAULT,
     }
 
 

@@ -269,7 +269,7 @@ class TestPrecisionOverride:
         import os
 
         assert P.matmul_precision() == os.environ.get(
-            "DLA_TPU_MATMUL_PRECISION", "highest"
+            "DLA_TPU_MATMUL_PRECISION", P.DEFAULT
         )
 
 
