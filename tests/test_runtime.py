@@ -251,6 +251,22 @@ class TestOutOfCore:
         assert dense > 1e-7  # the defect is visible
         np.testing.assert_allclose(streaming, dense, rtol=1e-10)
 
+    def test_panel_store_distributed_mesh(self, tmp_path):
+        """The full BASELINE config-5 shape: disk-backed O_DIRECT panel
+        store + panels row-sharded over the device mesh (distributed
+        out-of-core), to the fp64 gate."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+        from dla_tpu.parallel import make_mesh
+
+        n, panel = 1536, 512
+        mesh = make_mesh(2, 4)
+        p = str(tmp_path / "panels.bin")
+        with DirectPanelStore(n, np.float64, path=p, panel=panel) as st:
+            st.fill_plgsy(seed=51)
+            stats = potrf_outofcore(st, panel=panel, nb=128, mesh=mesh)
+            assert stats["panels"] == n // panel
+            assert freivalds_streaming(st, seed=51, probes=4) < 1e-10
+
     def test_panel_store_torn_writeback_recovers(self, tmp_path):
         """Torn final write on the panel store: the scratch REGION (not a
         .npy file — buffered page-cache writes crawl on this VM) replays the
