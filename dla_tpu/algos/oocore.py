@@ -74,9 +74,18 @@ def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str):
                 panel = panel.at[off : off + bw, off : off + bw].set(lkk)
                 if off + bw >= m:
                     break
-                below = trsm(
-                    1.0, lkk, panel[off + bw :, off : off + bw],
-                    side="R", uplo="L", transa=True,
+                # TRSM-as-GEMM: a direct triangular_solve against the ~10⁵-row
+                # panel lowers to naive substitution on XLA CPU (~1 GF/s —
+                # measured 500 s/panel at N=131072); an nb-sized triangular
+                # inverse + one GEMM runs at sgemm speed. Same transformation
+                # the TPU panel solves use (ops/lapack_like.trtri_lower).
+                inv = trsm(  # inv(L_kk): L_kk X = I
+                    1.0, lkk, jnp.eye(bw, dtype=panel.dtype),
+                    side="L", uplo="L", transa=False,
+                )
+                bbelow = panel[off + bw :, off : off + bw]
+                below = gemm(
+                    1.0, bbelow, inv, 0.0, jnp.zeros_like(bbelow), transb=True
                 )
                 panel = panel.at[off + bw :, off : off + bw].set(below)
                 if off + bw < w:
