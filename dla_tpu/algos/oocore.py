@@ -42,8 +42,16 @@ import numpy as np
 from dla_tpu.runtime.staging import HostTileStore
 
 
+# Row-chunk size for single-device host GEMMs: one monolithic multi-GiB
+# GEMM runs at ~24 GF/s under 4K pages (TLB-bound; measured on this VM with
+# THP disabled — see CLAUDE.md) while ~128 MiB row chunks stream at
+# ~72 GF/s. Same flops, same result.
+_ROW_CHUNK = 8192
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str):
+def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str,
+            sharded: bool = False):
     """Per-shape jitted device steps (cached)."""
     import jax
     import jax.numpy as jnp
@@ -52,11 +60,26 @@ def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str):
 
     del dtype_str  # shapes+dtype come in via the arguments
 
+    def by_rows(fn, *arrays):
+        """Apply a row-wise map in _ROW_CHUNK slabs (monolithic when
+        sharded — chunk+concat would fight the SPMD partitioner)."""
+        m = arrays[0].shape[0]
+        if sharded or m <= _ROW_CHUNK:
+            return fn(*arrays)
+        return jnp.concatenate(
+            [fn(*(a[i : i + _ROW_CHUNK] for a in arrays))
+             for i in range(0, m, _ROW_CHUNK)],
+            axis=0,
+        )
+
     if kind == "update":
         # panel -= Lk @ Lk[:pw].T   (left-looking accumulation)
         def f(panel, lk):
-            pw = panel.shape[1]
-            return gemm(-1.0, lk, lk[:pw], 1.0, panel, transb=True)
+            top = lk[: panel.shape[1]]
+            return by_rows(
+                lambda l, p: gemm(-1.0, l, top, 1.0, p, transb=True),
+                lk, panel,
+            )
 
         # With row-sharded operands XLA's SPMD partitioner turns lk[:pw]
         # into an all-gather of the top rows and keeps the GEMM local —
@@ -84,14 +107,18 @@ def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str):
                     side="L", uplo="L", transa=False,
                 )
                 bbelow = panel[off + bw :, off : off + bw]
-                below = gemm(
-                    1.0, bbelow, inv, 0.0, jnp.zeros_like(bbelow), transb=True
+                below = by_rows(
+                    lambda b: gemm(1.0, b, inv, 0.0, jnp.zeros_like(b),
+                                   transb=True),
+                    bbelow,
                 )
                 panel = panel.at[off + bw :, off : off + bw].set(below)
                 if off + bw < w:
                     rest = panel[off + bw :, off + bw : w]
-                    upd = gemm(
-                        -1.0, below, below[: w - off - bw], 1.0, rest, transb=True
+                    btop = below[: w - off - bw]
+                    upd = by_rows(
+                        lambda b, r: gemm(-1.0, b, btop, 1.0, r, transb=True),
+                        below, rest,
                     )
                     panel = panel.at[off + bw :, off + bw : w].set(upd)
             return panel
@@ -289,8 +316,10 @@ def potrf_outofcore(
                     nxt = pool.submit(fetch, j0, (k + 1) * panel, ph)
                 else:
                     nxt = None
-                pj = _jitted("update", (ph, panel), nb, dtype_str)(pj, lk)
-            pj = _jitted("factor", (ph, panel), nb, dtype_str)(pj)
+                pj = _jitted("update", (ph, panel), nb, dtype_str,
+                             sharding is not None)(pj, lk)
+            pj = _jitted("factor", (ph, panel), nb, dtype_str,
+                         sharding is not None)(pj)
             t0 = time.perf_counter()
             host_pj = np.asarray(pj)  # d2h (blocks until the panel is done)
             if side:
