@@ -44,7 +44,7 @@ def cmd() -> list[str]:
         "--dtype", "float32", "--store", "panel",
         "--matrix", os.path.join(WORKDIR, "a.panels"),
         "--progress", os.path.join(WORKDIR, "a.progress.json"),
-        "--platform", "cpu", "--probes", "2",
+        "--platform", "cpu", "--probes", "2", "--ram-cache",
     ]
 
 

@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--orig", default=None,
                     help="disk path for the regenerated-A validation store "
                     "(RAM if omitted; use when 2 matrices exceed host DRAM)")
+    ap.add_argument("--ram-cache", action="store_true",
+                    help="write-through RAM cache for the panel store: "
+                    "reads served from host memory, every write still goes "
+                    "to the O_DIRECT file (same durability/resume)")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the double-buffered k-panel prefetch")
     ap.add_argument("--p", type=int, default=1, help="mesh rows (PxQ device grid)")
@@ -76,7 +80,8 @@ def main(argv=None) -> int:
         flush=True,
     )
     if panel_store:
-        store = DirectPanelStore(n, dtype, path=args.matrix, panel=args.panel)
+        store = DirectPanelStore(n, dtype, path=args.matrix, panel=args.panel,
+                                 ram_cache=args.ram_cache)
         if not store.direct:
             print("[oocore] note: filesystem rejected O_DIRECT, buffered I/O",
                   flush=True)

@@ -232,7 +232,16 @@ class DirectPanelStore:
     """
 
     def __init__(self, n: int, dtype=np.float32, *, path: str, panel: int,
-                 direct: bool = True):
+                 direct: bool = True, ram_cache: bool = False):
+        """``ram_cache=True`` keeps a write-through copy of the whole store
+        in anonymous host RAM: reads (the O(N³/panel) side of the panel
+        stream) are served from memory, writes go to BOTH the cache and the
+        O_DIRECT file, and a fresh process re-warms the cache from disk —
+        so crash-consistency and resume are exactly the disk store's.
+        Motivation (measured): each O_DIRECT read pins its destination
+        pages via the kernel's slow GUP fallback (~40 MB/s of CPU at 4K
+        pages on this VM) — ~2.5 h of pure page-pinning for the ~366 GB
+        read stream at N=131072, vs ~2 min of memcpy from cache."""
         self.n = int(n)
         self.panel = int(panel)
         self.dtype = np.dtype(dtype)
@@ -275,6 +284,14 @@ class DirectPanelStore:
         self._free: list[np.ndarray] = []
         self._out: dict[int, np.ndarray] = {}
         self._plock = threading.Lock()
+        self._cache: np.ndarray | None = None
+        if ram_cache:
+            # same panel-blocked layout as the file, one flat byte array
+            self._cache = _aligned_empty(self._scratch_off)
+            if existed:
+                # re-warm from disk (resume in a fresh process): one
+                # sequential read pass — GUP is paid once here
+                self._io(self._lib.dla_pread_full, self._cache, 0, "pread")
 
     # -- buffer pool ---------------------------------------------------------
 
@@ -333,11 +350,23 @@ class DirectPanelStore:
             err = os.strerror(-rc) if rc < 0 else f"short {what} ({rc} bytes)"
             raise OSError(f"{what} of {buf.nbytes} B at {file_off}: {err}")
 
+    def _cache_panel(self, k: int) -> np.ndarray:
+        """(h_k, panel) ndarray view of panel k inside the RAM cache."""
+        item = self.dtype.itemsize
+        h = self.n - k * self.panel
+        off = self._offsets[k]
+        return (
+            self._cache[off : off + h * self.panel * item]
+            .view(self.dtype)
+            .reshape(h, self.panel)
+        )
+
     def pack(self, i0: int, j0: int, h: int, w: int) -> np.ndarray:
         """Read rows ``i0 .. i0+h`` of panel ``j0/panel`` into a pooled
-        aligned buffer (one sequential disk read). Requires ``w == panel``,
-        ``i0 >= j0`` (lower triangle) and a row-suffix (``i0 + h == n``) —
-        exactly the out-of-core algorithm's access pattern."""
+        aligned buffer (RAM-cache memcpy, or one sequential disk read).
+        Requires ``w == panel``, ``i0 >= j0`` (lower triangle) and a
+        row-suffix (``i0 + h == n``) — exactly the out-of-core algorithm's
+        access pattern."""
         k = self._panel_of(j0)
         if w != self.panel or i0 < j0 or i0 + h != self.n:
             raise ValueError(
@@ -347,16 +376,22 @@ class DirectPanelStore:
         item = self.dtype.itemsize
         off = self._offsets[k] + (i0 - j0) * self.panel * item
         buf = self._acquire(h, w)
-        self._io(self._lib.dla_pread_full, buf, off, "pread")
+        if self._cache is not None:
+            np.copyto(buf, self._cache_panel(k)[i0 - j0 :], casting="no")
+        else:
+            self._io(self._lib.dla_pread_full, buf, off, "pread")
         return buf
 
     def unpack(self, i0: int, j0: int, src: np.ndarray):
-        """Write a full factored panel back (one sequential disk write)."""
+        """Write a full factored panel back (write-through: RAM cache if
+        enabled, always the disk file)."""
         k = self._panel_of(j0)
         if i0 != j0 or src.shape != (self.n - i0, self.panel):
             raise ValueError(
                 f"unsupported unpack at ({i0},{j0}) shape {src.shape}"
             )
+        if self._cache is not None:
+            np.copyto(self._cache_panel(k), src, casting="no")
         buf = self._acquire(*src.shape)
         np.copyto(buf, src, casting="no")
         try:
@@ -383,6 +418,8 @@ class DirectPanelStore:
         try:
             self._io(self._lib.dla_pread_full, buf, self._scratch_off, "pread")
             self._io(self._lib.dla_pwrite_full, buf, self._offsets[j], "pwrite")
+            if self._cache is not None:
+                np.copyto(self._cache_panel(j), buf, casting="no")
         finally:
             self.release(buf)
 
@@ -402,6 +439,8 @@ class DirectPanelStore:
             try:
                 gen(buf.ctypes.data, self.panel, seed & 0xFFFFFFFF,
                     k0, k0, h, self.panel, bump)
+                if self._cache is not None:
+                    np.copyto(self._cache_panel(k), buf, casting="no")
                 self._io(self._lib.dla_pwrite_full, buf, self._offsets[k],
                          "pwrite")
             finally:

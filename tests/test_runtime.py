@@ -171,15 +171,19 @@ class TestOutOfCore:
         ref = scipy.linalg.cholesky(a_sym, lower=True)
         np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
 
-    def test_panel_store_matches_lapack(self, tmp_path):
+    @pytest.mark.parametrize("ram_cache", [False, True])
+    def test_panel_store_matches_lapack(self, tmp_path, ram_cache):
         """The O_DIRECT panel-blocked store (the at-scale disk backend)
         through the same out-of-core algorithm, validated by the streaming
-        Freivalds pass and against LAPACK."""
+        Freivalds pass and against LAPACK. ram_cache=True is the
+        write-through RAM cache (reads from memory, writes to disk)."""
         from dla_tpu.algos.oocore import potrf_outofcore
 
         n, panel = 1536, 512  # f64: 512 * 8 B rows = one 4096 B sector
         p = str(tmp_path / "panels.bin")
-        with DirectPanelStore(n, np.float64, path=p, panel=panel) as st:
+        with DirectPanelStore(
+            n, np.float64, path=p, panel=panel, ram_cache=ram_cache
+        ) as st:
             st.fill_plgsy(seed=51)
             potrf_outofcore(st, panel=panel, nb=128)
             res = freivalds_streaming(st, seed=51, probes=4)
@@ -195,6 +199,11 @@ class TestOutOfCore:
             a_sym = np.tril(ref.array) + np.tril(ref.array, -1).T
         lref = scipy.linalg.cholesky(a_sym, lower=True)
         np.testing.assert_allclose(np.tril(lgot), lref, rtol=1e-9, atol=1e-9)
+        if ram_cache:
+            # write-through property: the DISK copy (read cache-less in a
+            # fresh store object) must hold the factored panels too
+            with DirectPanelStore(n, np.float64, path=p, panel=panel) as st2:
+                assert freivalds_streaming(st2, seed=51, probes=2) < 1e-10
 
     def test_panel_store_buffered_fallback(self, tmp_path):
         """direct=False (buffered I/O, e.g. for filesystems without
