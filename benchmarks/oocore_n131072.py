@@ -45,6 +45,7 @@ def cmd() -> list[str]:
         "--matrix", os.path.join(WORKDIR, "a.panels"),
         "--progress", os.path.join(WORKDIR, "a.progress.json"),
         "--platform", "cpu", "--probes", "2", "--ram-cache",
+        "--bucket", "16384",
     ]
 
 

@@ -213,6 +213,7 @@ def potrf_outofcore(
     on_panel: Callable[[int, int], None] | None = None,
     prefetch: bool = True,
     mesh=None,
+    height_bucket: int | None = None,
 ) -> dict:
     """Factor the SPD matrix in ``store`` in place (lower triangle becomes L).
 
@@ -228,6 +229,15 @@ def potrf_outofcore(
       on_panel: optional callback(panel_index, n_panels) after each panel.
       prefetch: overlap host pack + h2d of panel k+1 with the device update
         GEMM against panel k (double buffering).
+      height_bucket: round every streamed panel height up to a multiple of
+        this (zero-padded rows below the matrix; requires a store whose
+        ``pack`` supports overhang, i.e. ``DirectPanelStore``). Collapses
+        the per-panel jit shapes (~2·npan distinct programs) to
+        ~2·n/height_bucket — XLA CPU recompiles per shape, and per-panel
+        compiles were a first-order cost at N=131072. Padded rows are
+        mathematically inert (zero GEMM contributions, untouched by the
+        diagonal factor) and are sliced off before writeback. Single-device
+        only (a pad+concat program would fight the SPMD partitioner).
       mesh: optional ``jax.sharding.Mesh`` — the **distributed out-of-core**
         configuration (BASELINE.json config 5 at multi-chip scale: N bounded
         by host DRAM/disk, not by per-chip or even aggregate HBM). Streamed
@@ -261,6 +271,13 @@ def potrf_outofcore(
             )
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh.axis_names, None)
+        )
+    if height_bucket is not None and mesh is not None:
+        raise ValueError("height_bucket is a single-device optimization")
+    if height_bucket is not None and not hasattr(store, "commit_scratch"):
+        raise ValueError(
+            "height_bucket requires a panel store whose pack() supports "
+            "zero-padded overhang (DirectPanelStore)"
         )
     side = _Sidecar(progress_path, n, panel, store=store) if progress_path else None
     if side:
@@ -304,6 +321,8 @@ def potrf_outofcore(
                 continue
             j0 = j * panel
             ph = n - j0
+            if height_bucket is not None:
+                ph = min(n, -(-ph // height_bucket) * height_bucket)
             pj = fetch(j0, j0, ph)
             nxt = None
             if pool and j > 0:
@@ -322,6 +341,7 @@ def potrf_outofcore(
                          sharding is not None)(pj)
             t0 = time.perf_counter()
             host_pj = np.asarray(pj)  # d2h (blocks until the panel is done)
+            host_pj = host_pj[: n - j0]  # drop bucketed pad rows
             if side:
                 side.stage(j, host_pj)
             store.unpack(j0, j0, host_pj)

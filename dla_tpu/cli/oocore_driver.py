@@ -41,6 +41,10 @@ def main(argv=None) -> int:
                     help="write-through RAM cache for the panel store: "
                     "reads served from host memory, every write still goes "
                     "to the O_DIRECT file (same durability/resume)")
+    ap.add_argument("--bucket", type=int, default=None,
+                    help="round streamed panel heights up to a multiple of "
+                    "this (panel store only): collapses per-panel jit "
+                    "recompiles to ~n/bucket distinct shapes")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the double-buffered k-panel prefetch")
     ap.add_argument("--p", type=int, default=1, help="mesh rows (PxQ device grid)")
@@ -111,6 +115,7 @@ def main(argv=None) -> int:
         progress_path=args.progress,
         prefetch=not args.no_prefetch,
         mesh=mesh,
+        height_bucket=args.bucket,
         on_panel=lambda j, np_: print(
             f"[oocore] panel {j + 1}/{np_} done @ {time.perf_counter() - t0:.1f}s",
             flush=True,

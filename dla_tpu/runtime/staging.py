@@ -368,7 +368,8 @@ class DirectPanelStore:
         row-suffix (``i0 + h == n``) — exactly the out-of-core algorithm's
         access pattern."""
         k = self._panel_of(j0)
-        if w != self.panel or i0 < j0 or i0 + h != self.n:
+        real = self.n - i0
+        if w != self.panel or i0 < j0 or h < real:
             raise ValueError(
                 f"unsupported pack (i0={i0}, j0={j0}, h={h}, w={w}): the "
                 "panel store serves whole-panel row-suffixes only"
@@ -377,9 +378,11 @@ class DirectPanelStore:
         off = self._offsets[k] + (i0 - j0) * self.panel * item
         buf = self._acquire(h, w)
         if self._cache is not None:
-            np.copyto(buf, self._cache_panel(k)[i0 - j0 :], casting="no")
+            np.copyto(buf[:real], self._cache_panel(k)[i0 - j0 :], casting="no")
         else:
-            self._io(self._lib.dla_pread_full, buf, off, "pread")
+            self._io(self._lib.dla_pread_full, buf[:real], off, "pread")
+        if h > real:
+            buf[real:] = 0  # height-bucketed overhang (algos/oocore.py)
         return buf
 
     def unpack(self, i0: int, j0: int, src: np.ndarray):

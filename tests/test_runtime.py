@@ -205,6 +205,20 @@ class TestOutOfCore:
             with DirectPanelStore(n, np.float64, path=p, panel=panel) as st2:
                 assert freivalds_streaming(st2, seed=51, probes=2) < 1e-10
 
+    def test_panel_store_height_bucket(self, tmp_path):
+        """height_bucket pads streamed panels to a fixed shape grid (fewer
+        jit shapes); padded rows must be inert and the factor exact."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        n, panel = 1536, 512
+        p = str(tmp_path / "panels.bin")
+        with DirectPanelStore(
+            n, np.float64, path=p, panel=panel, ram_cache=True
+        ) as st:
+            st.fill_plgsy(seed=51)
+            potrf_outofcore(st, panel=panel, nb=128, height_bucket=1024)
+            assert freivalds_streaming(st, seed=51, probes=4) < 1e-10
+
     def test_panel_store_buffered_fallback(self, tmp_path):
         """direct=False (buffered I/O, e.g. for filesystems without
         O_DIRECT) permits unaligned tiny panels and stays correct."""
