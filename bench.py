@@ -40,8 +40,11 @@ def log(*a):
 
 
 def main():
+    # N/NB frontier (campaign, results_r2/sweep.csv): N=32768 beats both
+    # 28672 and 36864 (the latter regresses under HBM pressure), and at the
+    # `high` tier NB=8192 beats 4096 (36.7 vs 35.2 TF/s medians)
     n = int(os.environ.get("BENCH_N", 32768))
-    nb = int(os.environ.get("BENCH_NB", 4096))
+    nb = int(os.environ.get("BENCH_NB", 8192))
     iters = int(os.environ.get("BENCH_ITERS", 3))
     panel = os.environ.get("BENCH_PANEL", "blocktrsm")
     trailing = os.environ.get("BENCH_TRAILING", "pallas")
