@@ -42,6 +42,18 @@ import numpy as np
 from dla_tpu.runtime.staging import HostTileStore
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a completed rename survives power loss."""
+    try:
+        fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    except OSError:  # pragma: no cover - exotic fs
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 # Row-chunk size for single-device host GEMMs: one monolithic multi-GiB
 # GEMM runs at ~24 GF/s under 4K pages (TLB-bound; measured on this VM with
 # THP disabled — see CLAUDE.md) while ~128 MiB row chunks stream at
@@ -97,21 +109,32 @@ def _jitted(kind: str, shape: tuple, nb: int, dtype_str: str,
                 panel = panel.at[off : off + bw, off : off + bw].set(lkk)
                 if off + bw >= m:
                     break
-                # TRSM-as-GEMM: a direct triangular_solve against the ~10⁵-row
-                # panel lowers to naive substitution on XLA CPU (~1 GF/s —
-                # measured 500 s/panel at N=131072); an nb-sized triangular
-                # inverse + one GEMM runs at sgemm speed. Same transformation
-                # the TPU panel solves use (ops/lapack_like.trtri_lower).
-                inv = trsm(  # inv(L_kk): L_kk X = I
-                    1.0, lkk, jnp.eye(bw, dtype=panel.dtype),
-                    side="L", uplo="L", transa=False,
-                )
                 bbelow = panel[off + bw :, off : off + bw]
-                below = by_rows(
-                    lambda b: gemm(1.0, b, inv, 0.0, jnp.zeros_like(b),
-                                   transb=True),
-                    bbelow,
-                )
+                if panel.dtype == jnp.float64:
+                    # fp64 carries the 1e-10 contract: use true substitution
+                    # (no inv(L_kk) error amplification ~kappa(L_kk)*eps on
+                    # ill-conditioned input — ADVICE r2). Slower on XLA CPU,
+                    # but fp64 runs are the small gate configs.
+                    below = trsm(1.0, lkk, bbelow, side="R", uplo="L",
+                                 transa=True)
+                else:
+                    # TRSM-as-GEMM: a direct triangular_solve against the
+                    # ~10⁵-row panel lowers to naive substitution on XLA CPU
+                    # (~1 GF/s — measured 500 s/panel at N=131072); an
+                    # nb-sized triangular inverse + one GEMM runs at sgemm
+                    # speed. Same transformation the TPU panel solves use
+                    # (ops/lapack_like.trtri_lower). Conditioning caveat: the
+                    # explicit inverse amplifies error by ~kappa(L_kk); fine
+                    # for the fp32 residual class, excluded from fp64 above.
+                    inv = trsm(  # inv(L_kk): L_kk X = I
+                        1.0, lkk, jnp.eye(bw, dtype=panel.dtype),
+                        side="L", uplo="L", transa=False,
+                    )
+                    below = by_rows(
+                        lambda b: gemm(1.0, b, inv, 0.0, jnp.zeros_like(b),
+                                       transb=True),
+                        bbelow,
+                    )
                 panel = panel.at[off + bw :, off : off + bw].set(below)
                 if off + bw < w:
                     rest = panel[off + bw :, off + bw : w]
@@ -160,17 +183,28 @@ class _Sidecar:
             state["committing"] = self.committing
         with open(tmp, "w") as f:
             json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())  # sidecar durable before the rename lands
         os.replace(tmp, self.path)
+        _fsync_dir(os.path.dirname(self.path) or ".")
 
     def stage(self, j: int, data: np.ndarray):
-        """Durably record panel j's factored data before the store is touched."""
+        """Durably record panel j's factored data before the store is touched.
+
+        Power-loss ordering: the scratch bytes are fsync'd (O_DIRECT writes
+        are durable at completion; the .npy fallback fsyncs explicitly)
+        BEFORE the sidecar's 'committing' record, so recovery never replays
+        a torn scratch region (ADVICE r2)."""
         if self._store is not None:
             self._store.write_scratch(data)
         else:
             tmp = self.scratch + ".tmp"
             with open(tmp, "wb") as f:
                 np.save(f, data)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self.scratch)
+            _fsync_dir(os.path.dirname(self.scratch) or ".")
         self.committing = j
         self._write()
 
@@ -204,6 +238,93 @@ class _Sidecar:
             self._write()
 
 
+def _potrf_outofcore_host(
+    store: HostTileStore,
+    *,
+    panel: int,
+    nb: int,
+    progress_path: str | None,
+    on_panel: Callable[[int, int], None] | None,
+    prefetch: bool,
+) -> dict:
+    """Host-BLAS out-of-core POTRF: the same left-looking panel algorithm as
+    the device path, executed fully **in place** with direct OpenBLAS calls
+    (`runtime.hostblas`) — zero temporaries, zero recompiles, no defensive
+    copies. This is the shipping path for the single-host CPU-bound at-scale
+    configs (the TPU tunnel's ~46 MB/s h2d rules the device out at N≥10⁵ —
+    docs/ROADMAP.md): measured ~120 GF/s sustained on this VM's single core
+    vs ~15-40 GF/s for the XLA CPU path it replaces (the r2 'unexplained
+    2-4× gap', closed by removing XLA's per-call allocation + copy costs).
+    The reference's host side made exactly these direct BLAS calls under
+    Chameleon (SURVEY §1 L0)."""
+    from dla_tpu.runtime import hostblas as hb
+
+    n = store.n
+    if n % panel:
+        raise ValueError(f"n={n} must be a multiple of panel={panel}")
+    npan = n // panel
+    side = _Sidecar(progress_path, n, panel, store=store) if progress_path else None
+    if side:
+        side.recover(store)
+    releases = getattr(store, "release", None)
+
+    stats = {
+        "pack_s": 0.0, "h2d_wait_s": 0.0, "writeback_s": 0.0,
+        "bytes_in": 0, "bytes_out": 0, "wall_s": 0.0, "panels": 0,
+    }
+    wall0 = time.perf_counter()
+    item = store.dtype.itemsize
+    pool = ThreadPoolExecutor(max_workers=1) if prefetch else None
+
+    def fetch(j0: int, k0: int, ph: int) -> np.ndarray:
+        t0 = time.perf_counter()
+        buf = store.pack(j0, k0, ph, panel)
+        stats["pack_s"] += time.perf_counter() - t0
+        stats["bytes_in"] += ph * panel * item
+        return buf
+
+    try:
+        for j in range(npan):
+            if side and j in side.done:
+                continue
+            j0 = j * panel
+            ph = n - j0
+            pj = fetch(j0, j0, ph)
+            nxt = pool.submit(fetch, j0, 0, ph) if pool and j > 0 else None
+            for k in range(j):
+                t0 = time.perf_counter()
+                lk = nxt.result() if nxt is not None else fetch(j0, k * panel, ph)
+                stats["h2d_wait_s"] += time.perf_counter() - t0
+                if pool and k + 1 < j:
+                    nxt = pool.submit(fetch, j0, (k + 1) * panel, ph)
+                else:
+                    nxt = None
+                # pj -= Lk · Lk[:w]ᵀ, in place (BLAS releases the GIL, so
+                # the prefetch memcpy/read overlaps even on one core)
+                hb.gemm(-1.0, lk, lk[:panel], 1.0, pj, transb=True)
+                if releases is not None:
+                    releases(lk)
+            hb.factor_panel(pj, nb)
+            t0 = time.perf_counter()
+            if side:
+                side.stage(j, pj)
+            store.unpack(j0, j0, pj)
+            if side:
+                side.commit(j)
+            stats["writeback_s"] += time.perf_counter() - t0
+            stats["bytes_out"] += pj.nbytes
+            stats["panels"] += 1
+            if releases is not None:
+                releases(pj)
+            if on_panel:
+                on_panel(j, npan)
+    finally:
+        if pool:
+            pool.shutdown(wait=False, cancel_futures=True)
+    stats["wall_s"] = time.perf_counter() - wall0
+    return stats
+
+
 def potrf_outofcore(
     store: HostTileStore,
     *,
@@ -214,6 +335,7 @@ def potrf_outofcore(
     prefetch: bool = True,
     mesh=None,
     height_bucket: int | None = None,
+    host_blas: bool = False,
 ) -> dict:
     """Factor the SPD matrix in ``store`` in place (lower triangle becomes L).
 
@@ -238,6 +360,11 @@ def potrf_outofcore(
         mathematically inert (zero GEMM contributions, untouched by the
         diagonal factor) and are sliced off before writeback. Single-device
         only (a pad+concat program would fight the SPMD partitioner).
+      host_blas: execute the panel algorithm fully in place with direct
+        OpenBLAS calls on the host (no device, no XLA) — the fast path for
+        single-host CPU-bound at-scale runs (~120 GF/s vs ~15-40 GF/s via
+        XLA CPU on this VM). Mutually exclusive with ``mesh``/
+        ``height_bucket`` (no jit shapes to bucket).
       mesh: optional ``jax.sharding.Mesh`` — the **distributed out-of-core**
         configuration (BASELINE.json config 5 at multi-chip scale: N bounded
         by host DRAM/disk, not by per-chip or even aggregate HBM). Streamed
@@ -250,6 +377,17 @@ def potrf_outofcore(
       staging stats: bytes/seconds for pack (host gather), h2d wait, d2h +
       scatter, and total wall — the measured staging bandwidth.
     """
+    if host_blas:
+        if mesh is not None or height_bucket is not None:
+            raise ValueError(
+                "host_blas is the single-host in-place path — no mesh, and "
+                "height_bucket is a jit-shape optimization it doesn't need"
+            )
+        return _potrf_outofcore_host(
+            store, panel=panel, nb=nb, progress_path=progress_path,
+            on_panel=on_panel, prefetch=prefetch,
+        )
+
     import jax
     import jax.numpy as jnp
 

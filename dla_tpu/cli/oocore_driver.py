@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     "recompiles to ~n/bucket distinct shapes")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the double-buffered k-panel prefetch")
+    ap.add_argument("--host-blas", action="store_true",
+                    help="run the panel algorithm fully in place with direct "
+                    "OpenBLAS calls on the host (no device/XLA) — the fast "
+                    "path for single-host CPU-bound at-scale runs")
     ap.add_argument("--p", type=int, default=1, help="mesh rows (PxQ device grid)")
     ap.add_argument("--q", type=int, default=1, help="mesh cols — p*q>1 runs the "
                     "distributed out-of-core path (panels sharded over the mesh)")
@@ -54,12 +58,16 @@ def main(argv=None) -> int:
                     help="force a jax platform (e.g. cpu) before any computation")
     args = ap.parse_args(argv)
 
-    import jax
+    if args.host_blas and (args.bucket or args.p * args.q > 1):
+        ap.error("--host-blas excludes --bucket and --p/--q (single-host, "
+                 "in-place, no jit shapes)")
+    if not args.host_blas:
+        import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "float64":
-        jax.config.update("jax_enable_x64", True)
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
 
     import numpy as np
 
@@ -100,7 +108,7 @@ def main(argv=None) -> int:
               flush=True)
 
     mesh = None
-    if args.p * args.q > 1:
+    if not args.host_blas and args.p * args.q > 1:
         from dla_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.p, args.q)
@@ -116,6 +124,7 @@ def main(argv=None) -> int:
         prefetch=not args.no_prefetch,
         mesh=mesh,
         height_bucket=args.bucket,
+        host_blas=args.host_blas,
         on_panel=lambda j, np_: print(
             f"[oocore] panel {j + 1}/{np_} done @ {time.perf_counter() - t0:.1f}s",
             flush=True,

@@ -66,6 +66,12 @@ int64_t dla_open_file(const char* path, int32_t create, int32_t direct) {
 
 void dla_close_file(int64_t fd) { close(static_cast<int>(fd)); }
 
+int64_t dla_fsync(int64_t fd) {
+  if (fdatasync(static_cast<int>(fd)) != 0)
+    return -static_cast<int64_t>(errno);
+  return 0;
+}
+
 int64_t dla_truncate_file(int64_t fd, int64_t size) {
   if (ftruncate(static_cast<int>(fd), static_cast<off_t>(size)) != 0)
     return -static_cast<int64_t>(errno);
@@ -102,6 +108,7 @@ int64_t dla_pwrite_full(int64_t fd, const void* buf, int64_t nbytes,
       if (errno == EINTR) continue;
       return -static_cast<int64_t>(errno);
     }
+    if (r == 0) break;  // no forward progress — report the short write
     done += r;
   }
   return done;

@@ -14,6 +14,7 @@ import ctypes
 import os
 import subprocess
 import threading
+import weakref
 
 import numpy as np
 
@@ -64,6 +65,8 @@ def lib() -> ctypes.CDLL:
         l.dla_open_file.restype = i64
         l.dla_open_file.argtypes = [ctypes.c_char_p, i32, i32]
         l.dla_close_file.argtypes = [i64]
+        l.dla_fsync.restype = i64
+        l.dla_fsync.argtypes = [i64]
         l.dla_truncate_file.restype = i64
         l.dla_truncate_file.argtypes = [i64, i64]
         l.dla_pread_full.restype = i64
@@ -282,7 +285,8 @@ class DirectPanelStore:
         # pooled aligned buffers: one free list of raw byte arrays, best-fit
         # on size; steady state is a handful of max-panel-size buffers.
         self._free: list[np.ndarray] = []
-        self._out: dict[int, np.ndarray] = {}
+        self._out: dict[int, tuple] = {}  # id(view) -> (raw, weakref)
+        self.auto_reclaimed = 0  # buffers recovered from dropped views
         self._plock = threading.Lock()
         self._cache: np.ndarray | None = None
         if ram_cache:
@@ -306,17 +310,29 @@ class DirectPanelStore:
                     best = i
             raw = self._free.pop(best) if best is not None else _aligned_empty(nbytes)
             view = raw[:nbytes].view(self.dtype).reshape(h, w)
-            self._out[id(view)] = raw
+            key = id(view)
+            # A caller that drops the view without release() must not leak
+            # the backing buffer (nor let a recycled id() collide with a
+            # stale entry — ADVICE r2): a weakref finalizer returns the raw
+            # buffer to the pool when the view dies unreleased.
+            self._out[key] = (raw, weakref.ref(view, lambda _: self._reclaim(key)))
             return view
+
+    def _reclaim(self, key: int) -> None:
+        with self._plock:
+            entry = self._out.pop(key, None)
+            if entry is not None:
+                self._free.append(entry[0])
+                self.auto_reclaimed += 1
 
     def release(self, buf: np.ndarray) -> None:
         """Return a buffer obtained from :meth:`pack` to the pool. Only call
         once the device copy of the buffer is complete (on the CPU backend
         ``device_put`` copies synchronously, so immediately after is safe)."""
         with self._plock:
-            raw = self._out.pop(id(buf), None)
-            if raw is not None:
-                self._free.append(raw)
+            entry = self._out.pop(id(buf), None)
+            if entry is not None:
+                self._free.append(entry[0])
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -405,11 +421,17 @@ class DirectPanelStore:
     # -- transactional scratch region (used by the oocore sidecar) -----------
 
     def write_scratch(self, src: np.ndarray):
-        """Durably stage a factored panel in the scratch region."""
+        """Durably stage a factored panel in the scratch region (O_DIRECT
+        writes are durable at completion; the buffered fallback fsyncs so
+        the transactional-commit ordering also holds across power loss)."""
         buf = self._acquire(*src.shape)
         np.copyto(buf, src, casting="no")
         try:
             self._io(self._lib.dla_pwrite_full, buf, self._scratch_off, "pwrite")
+            if not self.direct:
+                rc = self._lib.dla_fsync(self._fd)
+                if rc < 0:
+                    raise OSError(-rc, os.strerror(-rc), self.path)
         finally:
             self.release(buf)
 

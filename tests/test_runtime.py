@@ -205,6 +205,62 @@ class TestOutOfCore:
             with DirectPanelStore(n, np.float64, path=p, panel=panel) as st2:
                 assert freivalds_streaming(st2, seed=51, probes=2) < 1e-10
 
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    def test_host_blas_matches_lapack(self, dtype):
+        """The in-place OpenBLAS host path (host_blas=True) — the shipping
+        at-scale CPU configuration — must meet the same gates as the device
+        path (fp64: 1e-10-class elementwise agreement with LAPACK)."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        n, panel, nb = 256, 64, 32
+        with HostTileStore(n, dtype) as st:
+            st.fill_plgsy(seed=51)
+            a = np.tril(np.asarray(st.array, np.float64)).copy()
+            a_sym = a + np.tril(a, -1).T
+            potrf_outofcore(st, panel=panel, nb=nb, host_blas=True)
+            got = np.tril(np.asarray(st.array, np.float64))
+        ref = scipy.linalg.cholesky(a_sym, lower=True)
+        tol = 1e-9 if dtype == np.float64 else 2e-4
+        np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+
+    def test_host_blas_panel_store_resume(self, tmp_path):
+        """host_blas through the O_DIRECT panel store with a sidecar:
+        partial run, fresh store object, resume to completion, streaming
+        Freivalds gate."""
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        n, panel = 1536, 512
+        p = str(tmp_path / "panels.bin")
+        prog = str(tmp_path / "progress.json")
+
+        class Stop(Exception):
+            pass
+
+        def bomb(j, npan):
+            if j == 1:
+                raise Stop
+
+        with DirectPanelStore(n, np.float64, path=p, panel=panel) as st:
+            st.fill_plgsy(seed=51)
+            with pytest.raises(Stop):
+                potrf_outofcore(st, panel=panel, nb=128, host_blas=True,
+                                progress_path=prog, on_panel=bomb)
+        with DirectPanelStore(n, np.float64, path=p, panel=panel,
+                              ram_cache=True) as st:
+            stats = potrf_outofcore(st, panel=panel, nb=128, host_blas=True,
+                                    progress_path=prog)
+            assert stats["panels"] == n // panel - 2
+            assert freivalds_streaming(st, seed=51, probes=4) < 1e-10
+
+    def test_host_blas_rejects_mesh_and_bucket(self):
+        from dla_tpu.algos.oocore import potrf_outofcore
+
+        with HostTileStore(64, np.float64) as st:
+            st.fill_plgsy(seed=51)
+            with pytest.raises(ValueError, match="host_blas"):
+                potrf_outofcore(st, panel=32, nb=16, host_blas=True,
+                                height_bucket=64)
+
     def test_panel_store_height_bucket(self, tmp_path):
         """height_bucket pads streamed panels to a fixed shape grid (fewer
         jit shapes); padded rows must be inert and the factor exact."""
