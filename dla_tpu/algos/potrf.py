@@ -372,14 +372,23 @@ def potrf(
     (A = UᴴU); implemented as the lower factorization of the reflected
     matrix — two transposes around the same kernel path, no second
     algorithm to maintain.
+
+    ``uplo='B'`` (Both, from the reference's uplo map
+    ``v3_script_cholesky_x_arg_gpt.c:35-42``): factor and return *both*
+    triangles — L in the lower, Lᴴ in the upper (one shared diagonal), so
+    the result reads as a full matrix without a tril/triu step.
     """
     u = uplo.upper()
+    if u == "B":
+        l = potrf(a, nb=nb, mode=mode, uplo="L", **kw)
+        upper = jnp.conj(jnp.tril(l, -1)).swapaxes(-1, -2)
+        return l + upper
     if u == "U":
         al = jnp.conj(jnp.triu(a)).swapaxes(-1, -2)
         l = potrf(al, nb=nb, mode=mode, uplo="L", **kw)
         return jnp.conj(l).swapaxes(-1, -2)
     if u != "L":
-        raise ValueError(f"uplo must be 'L' or 'U', got {uplo!r}")
+        raise ValueError(f"uplo must be 'L', 'U', or 'B', got {uplo!r}")
     if mode == "blocked":
         return potrf_blocked(a, nb=nb, **kw)
     if mode == "shrink":

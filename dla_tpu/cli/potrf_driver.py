@@ -47,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--uplo", default=None,
-        help="L (lower, A=LL^H) or U (upper, A=U^H U) — reference uplo map "
+        help="L (lower, A=LL^H), U (upper, A=U^H U), or B (both: L in the "
+        "lower and L^H in the upper triangle) — reference uplo map "
         "(v3_…:35-42; its third mode B is a generator fill mode, not a "
         "factorization side)",
     )
@@ -329,7 +330,10 @@ def main(argv=None) -> int:
         # intermediates. Generated matrices are fully symmetric, so the
         # symmetrize copy is skipped too.
         av, lv = a, l
-        if cfg.uplo == "U":
+        if cfg.uplo == "B":
+            # 'Both' returns L + L^H on one diagonal; validate its lower half
+            lv = jnp.tril(l)
+        elif cfg.uplo == "U":
             # validate through the lower-triangle contract: L = U^H. The
             # reflected matrix is lower-only, so it must be re-symmetrized
             # inside the validator (assume_symmetric would read zero uppers).

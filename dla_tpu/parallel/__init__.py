@@ -11,5 +11,15 @@ from dla_tpu.parallel.column_cyclic import (  # noqa: F401
     potrf_column_cyclic_ring,
     to_dense_cols,
 )
-from dla_tpu.parallel.potrf_dist import potrf_block_cyclic  # noqa: F401
+from dla_tpu.parallel.model import (  # noqa: F401
+    CHIPS,
+    crossover_n,
+    project,
+    single_chip_rate,
+)
+from dla_tpu.parallel.potrf_dist import (  # noqa: F401
+    flop_accounting,
+    flop_accounting_super,
+    potrf_block_cyclic,
+)
 from dla_tpu.parallel.solve_dist import potrs_block_cyclic  # noqa: F401

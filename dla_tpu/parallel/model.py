@@ -1,0 +1,203 @@
+"""Analytic compute/comm scaling model for the distributed POTRF.
+
+Answers the reference's characterization question — *when does scaling
+out pay?* — for hardware this environment does not have. The reference
+answered its analogue empirically: hybrid CPU+GPU beats CPU-only at
+N ≥ ~12000 (SURVEY §6, from the ``benchmark.c`` sweeps behind
+``results/bench.csv``). Here the analogous question is single-chip vs
+multi-chip over an ICI mesh; with one physical chip, the answer is a
+*model*:
+
+- **compute** comes from :func:`~dla_tpu.parallel.potrf_dist.flop_accounting`
+  (the per-step executed-flop geometry of the shipping ``_potrf_local``,
+  already gated ≤1.2× ideal in tests) divided over devices at the
+  *measured* per-tier single-chip GEMM ceilings (``docs/STATUS_r2.md``:
+  chained-GEMM probe, RTT-corrected);
+- **comm** comes from the same accounting's per-step collective volumes
+  (psum over 'c' + all_gather over 'r' of the windowed panel), which are
+  validated against the **compiled HLO's actual collective operands** on a
+  virtual mesh in ``tests/test_model.py`` — the model's comm term is tied
+  to the real program, not to intent;
+- **overlap**: the implementation software-pipelines one step of lookahead
+  (panel k+1's collectives run under trailing k's GEMMs —
+  ``potrf_dist.py:184``), so a step costs
+  ``chol + solve + max(trailing, comm)``.
+
+Link/bandwidth assumptions are explicit per chip generation (public spec
+numbers; the v5e compute ceilings are *measured on this chip*, v5p scales
+them by the public peak ratio). The model is a projection, not a
+measurement — its validated parts are the flop geometry and the comm
+volumes; its assumptions (link efficiency, latency) are named constants a
+user can override.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+from dla_tpu.parallel.block_cyclic import BlockCyclicLayout
+from dla_tpu.parallel.potrf_dist import flop_accounting
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    """Per-chip model parameters.
+
+    tflops: sustained large-GEMM throughput per precision tier (TF/s).
+    ici_gbps: aggregate ICI bandwidth per chip, GB/s, one direction
+      (v5e: 4 links ≈ 1600 Gbit/s ≈ 200 GB/s; v5p: 6 links ≈ 4800 Gbit/s
+      ≈ 600 GB/s — public spec-sheet numbers).
+    link_efficiency: achievable fraction of spec bandwidth (collectives
+      rarely exceed ~70-80% of line rate).
+    latency_us: per-collective launch+hop latency.
+    hbm_gib: usable HBM per chip — bounds the largest single-chip N.
+    """
+
+    tflops: dict
+    ici_gbps: float
+    link_efficiency: float
+    latency_us: float
+    hbm_gib: float
+
+
+# v5e compute ceilings are MEASURED on this chip (STATUS_r2 chained-GEMM
+# probe). v5p compute scales by the public bf16 peak ratio 459/197 ≈ 2.33;
+# its ICI is the public 4800 Gbit/s figure.
+CHIPS = {
+    "v5e": ChipSpec(
+        tflops={"default": 182.0, "high": 63.0, "highest": 31.4},
+        ici_gbps=200.0, link_efficiency=0.75, latency_us=2.0, hbm_gib=15.75,
+    ),
+    "v5p": ChipSpec(
+        tflops={"default": 424.0, "high": 147.0, "highest": 73.2},
+        ici_gbps=600.0, link_efficiency=0.75, latency_us=2.0, hbm_gib=95.0,
+    ),
+}
+
+# Measured single-chip end-to-end POTRF rates at the `high` tier
+# (results_r2/sweep.csv campaign medians, GF/s) — the single-chip side of
+# the crossover. Interpolated linearly in N; saturates at the last entry.
+SINGLE_CHIP_HIGH_GFLOPS = {
+    4096: 700.0,   # small-N regime (panel-solve dominated)
+    8192: 4300.0,
+    16384: 17800.0,
+    28672: 32700.0,
+    32768: 36700.0,
+}
+
+
+def single_chip_rate(n: int, chip: str = "v5e", tier: str = "high") -> float:
+    """Projected single-chip POTRF GF/s at size n (measured curve on v5e,
+    scaled by the chip's tier ceiling ratio elsewhere)."""
+    pts = sorted(SINGLE_CHIP_HIGH_GFLOPS.items())
+    scale = (CHIPS[chip].tflops[tier] / CHIPS["v5e"].tflops["high"])
+    if n <= pts[0][0]:
+        r = pts[0][1] * n / pts[0][0]
+    elif n >= pts[-1][0]:
+        r = pts[-1][1]
+    else:
+        for (n0, r0), (n1, r1) in zip(pts, pts[1:]):
+            if n0 <= n <= n1:
+                r = r0 + (r1 - r0) * (n - n0) / (n1 - n0)
+                break
+    return r * scale
+
+
+def step_comm_elems(layout: BlockCyclicLayout, k: int) -> int:
+    """Panel-broadcast volume of step k in elements — mirrors
+    ``flop_accounting``'s aggregate ``(ltr-w0)·nb²·(q+p)`` term."""
+    w0 = (k + 1) // layout.p
+    return (layout.ltr - w0) * layout.nb * layout.nb * (layout.q + layout.p)
+
+
+def project(
+    layout: BlockCyclicLayout,
+    *,
+    chip: str = "v5e",
+    tier: str = "high",
+    itemsize: int = 4,
+    gemm_efficiency: float = 0.75,
+) -> dict:
+    """Projected wall time of the distributed POTRF on a p×q mesh.
+
+    Per step k (geometry from ``flop_accounting(per_step=True)``):
+
+    - serial phase: diag factor (one device, the others wait on the psum)
+      + the panel solve on the kc column's p devices (each holds 1/p of
+      the window) — ``(chol/p + solve/p) / (R·gemm_eff)`` with the
+      accounting's p-duplicated totals divided back per device;
+    - overlapped phase: ``max(trailing/(p·q·R·gemm_eff), comm_k)`` —
+      the 1-step lookahead hides the smaller of the two;
+    - ``comm_k`` = step volume · itemsize / (ici_bw · link_eff) +
+      2 collectives · latency.
+
+    Returns totals plus the single-chip projection and speedup.
+    """
+    spec = CHIPS[chip]
+    acc = flop_accounting(layout, per_step=True)
+    rate = spec.tflops[tier] * 1e12 * gemm_efficiency
+    bw = spec.ici_gbps * 1e9 * spec.link_efficiency
+    lat = spec.latency_us * 1e-6
+    t_serial = t_overlap = t_comm_total = 0.0
+    for s in acc["steps"]:
+        k = s["k"]
+        # accounting duplicates chol on the column's p devices (p·nb³/3) and
+        # counts the column-total solve p times; per-device critical path:
+        t_chol = (s["chol"] / layout.p) / rate
+        t_solve = (s["solve"] / layout.p / layout.p) / rate
+        t_trail = s["trail"] / (layout.p * layout.q) / rate
+        comm_bytes = step_comm_elems(layout, k) * itemsize
+        t_comm = comm_bytes / bw + 2 * lat
+        t_serial += t_chol + t_solve
+        t_overlap += max(t_trail, t_comm)
+        t_comm_total += t_comm
+    total = t_serial + t_overlap
+    n = layout.n
+    ideal_flops = n**3 / 3
+    t_single = ideal_flops / (single_chip_rate(n, chip, tier) * 1e9)
+    hbm_elems = spec.hbm_gib * 2**30 / itemsize
+    # shrink path peak ≈ 2·N² buffers (STATUS_r2); in-core bound:
+    n_max_single = int(math.sqrt(hbm_elems / 2))
+    return {
+        "n": n, "p": layout.p, "q": layout.q, "nb": layout.nb,
+        "chip": chip, "tier": tier,
+        "t_dist_s": total, "t_serial_s": t_serial, "t_overlap_s": t_overlap,
+        "t_comm_s": t_comm_total,
+        "dist_gflops": ideal_flops / total / 1e9,
+        "t_single_s": t_single,
+        "single_gflops": ideal_flops / t_single / 1e9,
+        "speedup": t_single / total,
+        "single_chip_fits": n <= n_max_single,
+        "n_max_single": n_max_single,
+        "comm_fraction": t_comm_total / total,
+        "flop_ratio": acc["ratio"],
+    }
+
+
+def crossover_n(
+    p: int,
+    q: int,
+    *,
+    chip: str = "v5e",
+    tier: str = "high",
+    nb: int = 2048,
+    n_max: int = 262144,
+) -> dict:
+    """Smallest N (multiple of nb·lcm(p,q)) where the p×q mesh beats one
+    chip, plus the projection at that N and at the single-chip HBM bound."""
+    stride = nb * (p * q // math.gcd(p, q))
+    first = None
+    rows = []
+    for n in range(stride, n_max + 1, stride):
+        lay = BlockCyclicLayout(n=n, nb=nb, p=p, q=q)
+        r = project(lay, chip=chip, tier=tier)
+        rows.append(r)
+        if first is None and r["speedup"] > 1.0:
+            first = r
+    return {
+        "mesh": f"{p}x{q}", "chip": chip, "tier": tier, "nb": nb,
+        "crossover_n": first["n"] if first else None,
+        "at_crossover": first,
+        "curve": rows,
+    }

@@ -200,10 +200,19 @@ _ALIGN = 4096
 
 
 def _aligned_empty(nbytes: int) -> np.ndarray:
-    """A 4096-aligned byte buffer (GC-safe: over-allocated numpy slice)."""
+    """A 4096-aligned byte buffer (GC-safe: over-allocated numpy slice).
+
+    Pages are pre-faulted (one byte written per 4 KiB page): O_DIRECT reads
+    into *unfaulted* anon memory fall off ``gup_fast`` onto the kernel's
+    slow long-term-pin path (measured ~40-110 MB/s of pure CPU on this VM —
+    the r2 cache-warm pathology), while pre-faulted pages pin at full disk
+    speed. Anon faults run at ~1.3 GB/s here (THP off), so the pre-fault
+    costs ~0.8 ms/GiB of the buffer's lifetime."""
     raw = np.empty(nbytes + _ALIGN, np.uint8)
     off = (-raw.ctypes.data) % _ALIGN
-    return raw[off : off + nbytes]
+    buf = raw[off : off + nbytes]
+    buf[::_ALIGN] = 0  # pre-fault
+    return buf
 
 
 class DirectPanelStore:
@@ -293,9 +302,18 @@ class DirectPanelStore:
             # same panel-blocked layout as the file, one flat byte array
             self._cache = _aligned_empty(self._scratch_off)
             if existed:
-                # re-warm from disk (resume in a fresh process): one
-                # sequential read pass — GUP is paid once here
-                self._io(self._lib.dla_pread_full, self._cache, 0, "pread")
+                # Re-warm from disk (resume in a fresh process). The cache
+                # pages are pre-faulted by _aligned_empty — essential: an
+                # O_DIRECT read into unfaulted anon memory falls off
+                # gup_fast onto a ~2 MB/s per-page fault+pin path on this
+                # VM (measured r3; a 35 GiB warm would take hours).
+                # Chunked so each syscall completes promptly.
+                step = 256 << 20
+                for off in range(0, self._cache.nbytes, step):
+                    self._io(
+                        self._lib.dla_pread_full,
+                        self._cache[off : off + step], off, "pread",
+                    )
 
     # -- buffer pool ---------------------------------------------------------
 
@@ -519,28 +537,38 @@ def freivalds_streaming(
     z = np.zeros((n, probes))   # L (L^T x)
     rowsum = np.zeros(n)        # streaming ||A||_inf
     gen = getattr(store._lib, f"dla_plgsy_{store._suf}")
+    # One preallocated fp64 work buffer, reused every panel: per-panel
+    # astype() temporaries would malloc/free ~2 panel-sizes per iteration,
+    # and on this VM freed pages are harvested by the host balloon — every
+    # refault costs host-page-supply time (measured down to ~6 MB/s).
+    # Allocate once, never free (same policy as the store's buffer pool).
+    work = _aligned_empty(n * w * 8).view(np.float64)
     for k in range(store.npan):
         k0 = k * w
         h = n - k0
         # --- L panel: u = B^T x[k0:], then z[k0:] += B u (B's diagonal
         # block is lower-triangular — the factor wrote tril only)
         lbuf = store.pack(k0, k0, h, w)
-        b = lbuf.astype(np.float64)
+        b = work[: h * w].reshape(h, w)
+        np.copyto(b, lbuf, casting="same_kind")
         store.release(lbuf)
         b[:w] = np.tril(b[:w])  # guard: ignore any stale upper bytes
         z[k0:] += b @ (b.T @ x[k0:])
         # --- A panel: regenerated in store dtype (exactly what was factored)
         abuf = store._acquire(h, w)
         gen(abuf.ctypes.data, w, seed & 0xFFFFFFFF, k0, k0, h, w, bump)
-        a = abuf.astype(np.float64)
+        a = b  # reuse the same fp64 work buffer
+        np.copyto(a, abuf, casting="same_kind")
         store.release(abuf)
         # lower-panel contribution: rows k0..n get columns k0..k0+w
         y[k0:] += a @ x[k0 : k0 + w]
-        rowsum[k0:] += np.abs(a).sum(axis=1)
         # symmetric (upper) contribution: rows k0..k0+w get columns k0+w..n
         strict = a[w:]
         y[k0 : k0 + w] += strict.T @ x[k0 + w :]
-        rowsum[k0 : k0 + w] += np.abs(strict).sum(axis=0)
+        # ||A||_inf row sums last — |a| in place (no panel-size temporary)
+        np.abs(a, out=a)
+        rowsum[k0:] += a.sum(axis=1)
+        rowsum[k0 : k0 + w] += a[w:].sum(axis=0)
         if on_panel:
             on_panel(k, store.npan)
     norm_a = rowsum.max()

@@ -55,10 +55,10 @@ class RunConfig:
             )
         self.dtype = self.DTYPE_ALIASES[key]
         self.uplo = self.uplo.upper()
-        if self.uplo not in ("L", "U"):
+        if self.uplo not in ("L", "U", "B"):
             raise ValueError(
-                "uplo must be 'L' or 'U' (the reference's third mode 'B' is "
-                "a descriptor fill mode, not a factorization side)"
+                "uplo must be 'L', 'U', or 'B' (both triangles — the "
+                "reference's uplo map, v3_script_cholesky_x_arg_gpt.c:35-42)"
             )
         if self.n <= 0 or self.nb <= 0:
             raise ValueError("n and nb must be positive")

@@ -88,10 +88,26 @@ class TestUploUpper:
         ref = scipy.linalg.cholesky(_herm(a), lower=False)
         np.testing.assert_allclose(u, ref, rtol=1e-9, atol=1e-9)
 
+    def test_dpotrf_both_matches_scipy(self):
+        """uplo='B' (Both — v3_script_cholesky_x_arg_gpt.c:35-42): the
+        result carries L in the lower AND Lᵀ in the upper triangle."""
+        a = plgsy(128, seed=17, dtype=jnp.float64)
+        b = np.asarray(potrf(a, nb=32, uplo="B"))
+        lref = scipy.linalg.cholesky(np.asarray(a), lower=True)
+        np.testing.assert_allclose(np.tril(b), lref, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.triu(b), lref.T, rtol=1e-9, atol=1e-9)
+
+    def test_zpotrf_both_is_hermitian_pair(self):
+        a = plghe(96, seed=18, dtype=jnp.complex128)
+        b = np.asarray(potrf(a, nb=32, uplo="B"))
+        lref = scipy.linalg.cholesky(_herm(a), lower=True)
+        np.testing.assert_allclose(np.tril(b), lref, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.triu(b), lref.conj().T, rtol=1e-9, atol=1e-9)
+
     def test_bad_uplo_rejected(self):
         a = plgsy(32, seed=1, dtype=jnp.float64)
         with pytest.raises(ValueError, match="uplo"):
-            potrf(a, nb=16, uplo="B")
+            potrf(a, nb=16, uplo="X")
 
 
 def _run(args):
