@@ -18,6 +18,14 @@ NB=448, hybrid 3CPU+1GPU via Chameleon/StarPU (BASELINE.md; bench.csv).
 GFLOP/s accounting matches the reference exactly: (1/3)·N³ / t
 (``v6_test.c:60`` — no lower-order terms).
 
+Timing convention: the headline ``value`` amortizes the axon tunnel's
+~30-46 ms host↔device RTT by chaining K on-device factorizations through a
+scalar carry and subtracting the identically-chained generation time (the
+reference's local clock_gettime sync costs ~µs; the per-precision MXU
+ceilings this number is compared against were measured the same
+RTT-corrected way). ``gflops_raw`` keeps the r1/r2 per-invocation
+convention (one RTT embedded per iteration) for continuity.
+
 Diagnostics go to stderr; stdout is the single JSON line.
 """
 
@@ -95,6 +103,8 @@ def main():
         a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
         return a.at[idx, idx].add(s)
 
+    chain_k = int(os.environ.get("BENCH_CHAIN", 4))
+
     def run_tier(prec: str):
         def step(a):
             return potrf_shrink(
@@ -128,7 +138,49 @@ def main():
             times.append(t1 - t0)
             log(f"[{prec}] iter {i}: {t1 - t0:.4f}s -> {(n**3 / 3) / (t1 - t0) / 1e9:.1f} GFLOP/s")
         t = sorted(times)[len(times) // 2]  # median, matching plot_grid_all.py
-        gflops = (n**3 / 3) / t / 1e9
+        gflops_raw = (n**3 / 3) / t / 1e9
+
+        # --- RTT-amortized device time -----------------------------------
+        # Each raw iteration above embeds one host↔device tunnel round trip
+        # (~30-46 ms on the axon tunnel — CLAUDE.md; a local-PCIe host pays
+        # ~µs, and the per-precision MXU ceilings in STATUS_r2 were measured
+        # RTT-corrected). The apples-to-apples device number chains K
+        # factorizations on-device through a scalar carry (each step
+        # regenerates A from the previous factor's scalar — genuinely
+        # sequential work) and subtracts the identically-chained generation
+        # time: per-factor = (T_factor_chain − T_gen_chain) / K; the single
+        # trailing RTT cancels in the subtraction.
+        gflops = gflops_raw
+        chain = None
+        if chain_k:
+            def genf(s):
+                a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
+                return a.at[idx, idx].add(1e-3 + s * 1e-9)
+
+            cf = jax.jit(lambda s: step(genf(s))[n - 1, n - 1])
+            cg = jax.jit(lambda s: genf(s)[n - 1, n - 1])
+            s0 = jnp.float32(0.0)
+            _ = float(cf(s0)); _ = float(cg(s0))  # compile + warm
+            t0 = time.perf_counter()
+            s = s0
+            for _i in range(chain_k):
+                s = cf(s)
+            _ = float(s)
+            t_f = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s = s0
+            for _i in range(chain_k):
+                s = cg(s)
+            _ = float(s)
+            t_g = time.perf_counter() - t0
+            per = (t_f - t_g) / chain_k
+            chain = {
+                "k": chain_k, "factor_chain_s": round(t_f, 4),
+                "gen_chain_s": round(t_g, 4), "per_factor_s": round(per, 4),
+            }
+            gflops = (n**3 / 3) / per / 1e9
+            log(f"[{prec}] chained x{chain_k}: {per:.4f}s/factor -> "
+                f"{gflops:.1f} GFLOP/s (gen {t_g / chain_k:.4f}s)")
 
         trace_dir = os.environ.get("BENCH_TRACE")
         if trace_dir:
@@ -158,7 +210,11 @@ def main():
         l = None  # donated
         log(f"[{prec}] Performance: {gflops:.2f} Gflop/s")
         log(f"[{prec}] ||A - LL^T||_inf / ||A||_inf = {res:.2e}")
-        return {"gflops": round(gflops, 1), "residual": res, "compile_s": round(compile_s, 1)}
+        out = {"gflops": round(gflops, 1), "gflops_raw": round(gflops_raw, 1),
+               "residual": res, "compile_s": round(compile_s, 1)}
+        if chain:
+            out["chain"] = chain
+        return out
 
     results: dict[str, dict] = {}
     for i, prec in enumerate(tiers):
@@ -186,8 +242,10 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(head["gflops"] / BASELINE_GFLOPS, 2),
         "residual": head["residual"],
+        "gflops_raw": head.get("gflops_raw"),
         "tiers": {
-            p: {"gflops": r["gflops"], "residual": r["residual"]}
+            p: {"gflops": r["gflops"], "gflops_raw": r.get("gflops_raw"),
+                "residual": r["residual"]}
             for p, r in results.items()
         },
         "config": {"panel": panel, "trailing": trailing, "tb": tb, "kb": kb,

@@ -117,7 +117,6 @@ def project(
     chip: str = "v5e",
     tier: str = "high",
     itemsize: int = 4,
-    gemm_efficiency: float = 0.75,
 ) -> dict:
     """Projected wall time of the distributed POTRF on a p×q mesh.
 
@@ -125,18 +124,28 @@ def project(
 
     - serial phase: diag factor (one device, the others wait on the psum)
       + the panel solve on the kc column's p devices (each holds 1/p of
-      the window) — ``(chol/p + solve/p) / (R·gemm_eff)`` with the
-      accounting's p-duplicated totals divided back per device;
-    - overlapped phase: ``max(trailing/(p·q·R·gemm_eff), comm_k)`` —
-      the 1-step lookahead hides the smaller of the two;
+      the window) — the accounting's p-duplicated totals divided back per
+      device;
+    - overlapped phase: ``max(trailing/(p·q·R_dev), comm_k)`` — the 1-step
+      lookahead hides the smaller of the two;
     - ``comm_k`` = step volume · itemsize / (ici_bw · link_eff) +
       2 collectives · latency.
 
-    Returns totals plus the single-chip projection and speedup.
+    Both sides of the comparison use the same measured size-dependent
+    rate curve: the per-device rate is the *measured single-chip
+    end-to-end rate at the device-local scale* N/√(p·q) (each device
+    holds N²/(p·q) elements), so the small-GEMM/panel-overhead penalty
+    that the measured curve embodies applies to the distributed side too —
+    without this, tiny-N projections absurdly credit each device with
+    full-size GEMM efficiency.
+
+    Returns totals plus the single-chip projection, speedup, and parallel
+    efficiency (speedup / device count).
     """
     spec = CHIPS[chip]
     acc = flop_accounting(layout, per_step=True)
-    rate = spec.tflops[tier] * 1e12 * gemm_efficiency
+    n_local = max(1, int(layout.n / math.sqrt(layout.p * layout.q)))
+    rate = single_chip_rate(n_local, chip, tier) * 1e9
     bw = spec.ici_gbps * 1e9 * spec.link_efficiency
     lat = spec.latency_us * 1e-6
     t_serial = t_overlap = t_comm_total = 0.0
@@ -168,6 +177,7 @@ def project(
         "t_single_s": t_single,
         "single_gflops": ideal_flops / t_single / 1e9,
         "speedup": t_single / total,
+        "efficiency": t_single / total / (layout.p * layout.q),
         "single_chip_fits": n <= n_max_single,
         "n_max_single": n_max_single,
         "comm_fraction": t_comm_total / total,
@@ -187,7 +197,7 @@ def crossover_n(
     """Smallest N (multiple of nb·lcm(p,q)) where the p×q mesh beats one
     chip, plus the projection at that N and at the single-chip HBM bound."""
     stride = nb * (p * q // math.gcd(p, q))
-    first = None
+    first = eff50 = eff70 = None
     rows = []
     for n in range(stride, n_max + 1, stride):
         lay = BlockCyclicLayout(n=n, nb=nb, p=p, q=q)
@@ -195,9 +205,17 @@ def crossover_n(
         rows.append(r)
         if first is None and r["speedup"] > 1.0:
             first = r
+        if eff50 is None and r["efficiency"] >= 0.5:
+            eff50 = n
+        if eff70 is None and r["efficiency"] >= 0.7:
+            eff70 = n
     return {
         "mesh": f"{p}x{q}", "chip": chip, "tier": tier, "nb": nb,
         "crossover_n": first["n"] if first else None,
+        # the more decision-relevant thresholds: smallest N with ≥50%/70%
+        # parallel efficiency (speedup alone crosses 1 early but poorly)
+        "n_eff50": eff50,
+        "n_eff70": eff70,
         "at_crossover": first,
         "curve": rows,
     }
