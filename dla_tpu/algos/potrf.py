@@ -290,14 +290,21 @@ def potrf_shrink(
         raise ValueError(f"pallas paths require n % nb == 0, got {n} % {nb}")
     with _precision.override(precision):
         cj = _isc(a)
-        t = jnp.tril(a)
         if trailing != "pallas":
             # the full-square XLA trailing GEMM needs a symmetric (Hermitian
-            # for c/z) trailing block; the pallas path updates only the lower
-            # trapezoid and never reads the upper triangle, so plain tril
-            # suffices there.
+            # for c/z) trailing block, rebuilt from the meaningful (lower)
+            # triangle.
+            t = jnp.tril(a)
             refl = jnp.tril(t, -1).swapaxes(-1, -2)
             t = t + (jnp.conj(refl) if cj else refl)
+        else:
+            # the pallas trailing path never reads above the diagonal: the
+            # diag factor / panel solves consume only lower entries, and the
+            # kernel visits lower tile pairs (diag-tile upper elements are
+            # updated in place but never read downstream). Skipping the
+            # tril masks saves two full-matrix passes (2×12.8 ms of the
+            # 291 ms N=32768 step — r3 xprof breakdown).
+            t = a
         # finished column strips land in a preallocated output (one
         # dynamic-update-slice per panel — Nb of them is compile-cheap, unlike
         # the per-op DUS chains of potrf_blocked) so peak memory is
@@ -350,7 +357,10 @@ def potrf_shrink(
                     )
                 else:
                     t = gemm(-1.0, lp, lp, 1.0, t[w:, w:], transb=True, conjb=cj)
-        return jnp.tril(out)
+        # `out` is lower-triangular by construction: it starts as zeros and
+        # receives only [tril(L_kk); below-diagonal solve] strips — no final
+        # tril pass needed (another 12.8 ms full-matrix pass saved).
+        return out
 
 
 def potrf(

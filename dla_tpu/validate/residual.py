@@ -34,28 +34,71 @@ def _symmetrize_lower(a: jax.Array) -> jax.Array:
     return low + (jnp.conj(refl) if jnp.iscomplexobj(a) else refl)
 
 
-def residual_potrf(a: jax.Array, l: jax.Array, *, norm: str = "I", assume_symmetric: bool = False) -> jax.Array:
+def residual_potrf(
+    a: jax.Array,
+    l: jax.Array,
+    *,
+    norm: str = "I",
+    assume_symmetric: bool = False,
+    assume_tril: bool = False,
+    row_chunk: int | None = None,
+) -> jax.Array:
     """Relative factorization residual ``||A − L·L^T||_inf / ||A||_inf``.
 
     ``a`` may carry garbage in its strict upper triangle (lower-only
     generation); it is symmetrized from the lower triangle unless
     ``assume_symmetric``. ``l`` may carry garbage above the diagonal; only
-    ``tril(l)`` is used. Computation is done in the widest available float
+    ``tril(l)`` is used (``assume_tril`` skips the mask when the caller
+    guarantees it). Computation is done in the widest available float
     (f64 under x64) regardless of input dtype so the residual measurement
     itself doesn't limit the gate.
+
+    ``row_chunk``: compute the ∞-norm row-block-wise (a ``fori_loop`` of
+    (chunk, n) reconstruction slabs) instead of materializing the full
+    N² reconstruction — the HBM-tight validation mode for large N (the
+    monolithic form needs an extra N² temporary that at N=32768 fp32 costs
+    4 GiB and defeats XLA buffer donation — r2 weak #2). Requires
+    ``norm="I"`` and n divisible by ``row_chunk``.
     """
     if jnp.iscomplexobj(a):
         wide = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
     else:
         wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     aa = a.astype(wide) if assume_symmetric else _symmetrize_lower(a.astype(wide))
-    ll = jnp.tril(l).astype(wide)
-    # precision pinned: the validator's own reconstruction must not run at
-    # the TPU's default bf16 matmul precision, or the measurement floor
-    # (~1e-3 at large N) masks the factor's actual quality
-    rec = jnp.matmul(ll, jnp.conj(ll).swapaxes(-1, -2), preferred_element_type=wide, precision="highest")
-    num = lange(norm, aa - rec)
-    den = lange(norm, aa)
+    ll = l.astype(wide) if assume_tril else jnp.tril(l).astype(wide)
+    if row_chunk is None:
+        # precision pinned: the validator's own reconstruction must not run
+        # at the TPU's default bf16 matmul precision, or the measurement
+        # floor (~1e-3 at large N) masks the factor's actual quality
+        rec = jnp.matmul(ll, jnp.conj(ll).swapaxes(-1, -2), preferred_element_type=wide, precision="highest")
+        num = lange(norm, aa - rec)
+        den = lange(norm, aa)
+        return num / den
+    n = a.shape[-1]
+    if norm.upper() not in ("I", "M"):
+        raise ValueError("row_chunk supports norm='I'/'M' only")
+    if n % row_chunk:
+        raise ValueError(f"n={n} must be a multiple of row_chunk={row_chunk}")
+    maxnorm = norm.upper() == "M"
+    llt = jnp.conj(ll).swapaxes(-1, -2)
+
+    def body(i, acc):
+        num_acc, den_acc = acc
+        r0 = i * row_chunk
+        arow = jax.lax.dynamic_slice(aa, (r0, 0), (row_chunk, n))
+        lrow = jax.lax.dynamic_slice(ll, (r0, 0), (row_chunk, n))
+        rec = jnp.matmul(lrow, llt, preferred_element_type=wide, precision="highest")
+        dif = jnp.abs(arow - rec)
+        absa = jnp.abs(arow)
+        if maxnorm:
+            return jnp.maximum(num_acc, dif.max()), jnp.maximum(den_acc, absa.max())
+        return (
+            jnp.maximum(num_acc, dif.sum(axis=1).max()),
+            jnp.maximum(den_acc, absa.sum(axis=1).max()),
+        )
+
+    zero = jnp.zeros((), jnp.float64 if wide in (jnp.float64, jnp.complex128) else jnp.float32)
+    num, den = jax.lax.fori_loop(0, n // row_chunk, body, (zero, zero))
     return num / den
 
 

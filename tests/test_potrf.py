@@ -287,3 +287,38 @@ class TestRefinedHost:
         assert err < 1e-10, (err, used)
         ref = np.linalg.solve(np.tril(a) + np.tril(a, -1).T, b)
         np.testing.assert_allclose(x, ref, rtol=1e-8)
+
+
+class TestResidualChunked:
+    """Row-chunked residual (r3: the HBM-tight validation mode bench.py
+    uses at N=32768) must agree with the monolithic form."""
+
+    def test_matches_monolithic(self):
+        n = 256
+        a = plgsy(n, seed=3, dtype=jnp.float64)
+        l = potrf(a, nb=64)
+        full = float(residual_potrf(a, l, assume_symmetric=True))
+        chunked = float(residual_potrf(a, l, assume_symmetric=True,
+                                       assume_tril=True, row_chunk=64))
+        assert abs(full - chunked) <= 1e-14 + 1e-6 * full
+
+    def test_max_norm_and_bad_args(self):
+        n = 128
+        a = plgsy(n, seed=4, dtype=jnp.float64)
+        l = potrf(a, nb=32)
+        m_full = float(residual_potrf(a, l, norm="M", assume_symmetric=True))
+        m_chunk = float(residual_potrf(a, l, norm="M", assume_symmetric=True,
+                                       row_chunk=32))
+        assert abs(m_full - m_chunk) <= 1e-14 + 1e-6 * m_full
+        with pytest.raises(ValueError, match="multiple of row_chunk"):
+            residual_potrf(a, l, row_chunk=33)
+        with pytest.raises(ValueError, match="norm"):
+            residual_potrf(a, l, norm="F", row_chunk=32)
+
+    def test_detects_bad_factor(self):
+        n = 128
+        a = plgsy(n, seed=5, dtype=jnp.float64)
+        l = potrf(a, nb=32)
+        bad = l.at[5, 3].add(0.1)
+        assert float(residual_potrf(a, bad, assume_symmetric=True,
+                                    row_chunk=32)) > 1e-5
