@@ -1,7 +1,14 @@
 from dla_tpu.algos.potrf import (  # noqa: F401
     potrf,
     potrf_blocked,
+    potrf_inplace,
     potrf_masked,
     potrf_shrink,
 )
-from dla_tpu.algos.solve import posv, posv_refined, potrs  # noqa: F401
+from dla_tpu.algos.solve import (  # noqa: F401
+    posv,
+    posv_refined,
+    posv_refined_host,
+    posv_refined_streamed,
+    potrs,
+)

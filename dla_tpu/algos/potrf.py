@@ -363,11 +363,73 @@ def potrf_shrink(
         return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb", "tb", "kb", "diag_factor", "precision"),
+    donate_argnums=0,
+)
+def potrf_inplace(
+    a: jax.Array,
+    *,
+    nb: int = 8192,
+    tb: int = 1024,
+    kb: int = 256,
+    diag_factor: DiagFactor = "twolevel",
+    precision: str | None = None,
+) -> jax.Array:
+    """Single-buffer right-looking Cholesky: peak device memory ≈ one
+    (n, n) buffer plus one column panel.
+
+    The memory-bound in-core formulation: ``potrf_shrink`` re-materializes
+    the shrinking trailing square (~3·N² peak — fast, but caps fp32 at
+    N≈45k on a 16 GiB v5e), while here the trailing update runs **in place
+    on the full buffer** through the aliased Pallas kernel
+    (``trailing_update_lower(origin=...)``) and panels land via
+    dynamic-update-slice on the donated input. This unlocks the BASELINE
+    north-star size **N=65536 in-core with bf16 storage** (8.6 GiB matrix)
+    — the storage-precision study configuration (VERDICT r3 #3).
+
+    For ``bfloat16`` input the per-panel compute (diag factor + blocked
+    TRSM) upcasts to fp32 tile-locally (the O(N·nb²) terms); the O(N³)
+    trailing MXU work reads/writes bf16 with fp32 accumulation natively.
+
+    The strict upper triangle of the result is *passed through from the
+    input*, not zeroed — only ``tril(out)`` is meaningful (same contract as
+    the reference's lower-triangle descriptors, ``v6_test.c`` semantics).
+    """
+    n = a.shape[-1]
+    if n % nb or nb % tb:
+        raise ValueError(f"need n % nb == 0 and nb % tb == 0, got {n}/{nb}/{tb}")
+    from dla_tpu.kernels.pallas_tiles import trailing_update_lower
+
+    with _precision.override(precision):
+        compute32 = a.dtype == jnp.bfloat16
+        ctype = jnp.float32 if compute32 else a.dtype
+        out = a
+        for off in range(0, n, nb):
+            w = nb
+            d = out[off : off + w, off : off + w].astype(ctype)
+            lkk = jnp.tril(_chol_tile(d, diag_factor))
+            out = lax.dynamic_update_slice(
+                out, lkk.astype(out.dtype), (off, off)
+            )
+            if off + w >= n:
+                break
+            pb = out[off + w :, off : off + w].astype(ctype)
+            lp = _blocktrsm_panel(lkk, pb).astype(out.dtype)
+            out = lax.dynamic_update_slice(out, lp, (off + w, off))
+            out = trailing_update_lower(
+                out, lp, tb=tb, kb=min(kb, nb), alias=True,
+                origin=(off + w) // tb, vmem_limit_bytes=100 * 2**20,
+            )
+        return out
+
+
 def potrf(
     a: jax.Array,
     *,
     nb: int = 256,
-    mode: Literal["blocked", "masked", "shrink"] = "blocked",
+    mode: Literal["blocked", "masked", "shrink", "inplace"] = "blocked",
     uplo: str = "L",
     **kw,
 ) -> jax.Array:
@@ -403,6 +465,13 @@ def potrf(
         return potrf_blocked(a, nb=nb, **kw)
     if mode == "shrink":
         return potrf_shrink(a, nb=nb, **kw)
+    if mode == "inplace":
+        # potrf_inplace donates its input (that is its point); the public
+        # non-mutating potrf() contract gets a defensive copy, and tril
+        # restores the zeros-above contract (the raw function passes the
+        # upper triangle through)
+        tb = kw.pop("tb", None) or min(nb, 256)
+        return jnp.tril(potrf_inplace(jnp.array(a), nb=nb, tb=tb, **kw))
     if mode == "masked":
         n = a.shape[-1]
         if n % nb:

@@ -36,20 +36,26 @@ def _solve_lower_blocked(l: jax.Array, b: jax.Array, *, trans: bool, ib: int = 5
     n = l.shape[-1]
     ib = min(ib, n)
     cj = jnp.iscomplexobj(l)
-    eye = jnp.eye(ib, dtype=l.dtype)
+    # bf16 factors (the N=65536-in-core storage policy) solve in fp32:
+    # operand slices upcast block-locally, so no full-matrix f32 copy
+    narrow = l.dtype == jnp.bfloat16
+    ct = jnp.float32 if narrow else l.dtype
+    up = (lambda s: s.astype(ct)) if narrow else (lambda s: s)
+    b = b.astype(ct) if b.dtype != ct else b
+    eye = jnp.eye(ib, dtype=ct)
     x = jnp.zeros_like(b)
     blocks = list(range(0, n, ib))
     order = blocks if not trans else blocks[::-1]
     for off in order:
         w = min(ib, n - off)
-        dinv = trsm(1.0, l[off : off + w, off : off + w], eye[:w, :w],
+        dinv = trsm(1.0, up(l[off : off + w, off : off + w]), eye[:w, :w],
                     side="L", transa=False)
         rhs = b[off : off + w]
         if not trans and off:
-            rhs = gemm(-1.0, l[off : off + w, :off], x[:off], 1.0, rhs)
+            rhs = gemm(-1.0, up(l[off : off + w, :off]), x[:off], 1.0, rhs)
         elif trans and off + w < n:
             # (op(L))_{ij} = op(L_ji) for j > i in the transposed solve
-            rhs = gemm(-1.0, l[off + w :, off : off + w], x[off + w :],
+            rhs = gemm(-1.0, up(l[off + w :, off : off + w]), x[off + w :],
                        1.0, rhs, transa=True, conja=cj)
         x = x.at[off : off + w].set(
             gemm(1.0, dinv, rhs, 0.0, jnp.zeros_like(rhs),
@@ -77,8 +83,10 @@ def potrs(l: jax.Array, b: jax.Array, *, blocked: bool | None = None) -> jax.Arr
         y = _solve_lower_blocked(l, bb, trans=False)
         x = _solve_lower_blocked(l, y, trans=True)
     else:
-        y = trsm(1.0, l, bb, side="L", uplo="L", transa=False)
-        x = trsm(1.0, l, y, side="L", uplo="L", transa=True, conja=cj)
+        ls = l.astype(jnp.float32) if l.dtype == jnp.bfloat16 else l
+        bb = bb.astype(ls.dtype) if bb.dtype != ls.dtype else bb
+        y = trsm(1.0, ls, bb, side="L", uplo="L", transa=False)
+        x = trsm(1.0, ls, y, side="L", uplo="L", transa=True, conja=cj)
     return x[:, 0] if vec else x
 
 
@@ -188,6 +196,104 @@ def posv_refined_host(
         used = i + 1
         norm_x = np.abs(x).max()
         err = np.abs(r).max() / (norm_a * max(norm_x, 1e-300))
+        if err < tol:
+            break
+    x = x[:, 0] if vec else x
+    return x, float(err), used
+
+
+def posv_refined_streamed(
+    l,
+    b_host,
+    *,
+    seed: int = 51,
+    bump: float | None = None,
+    panel: int = 4096,
+    iters: int = 16,
+    tol: float = 1e-11,
+    on_iter=None,
+):
+    """:func:`posv_refined_host` for N where the fp64 host matrix cannot be
+    materialized (34 GB at N=65536 — beyond this VM's balloon-throttled
+    host memory budget, CLAUDE.md): the wide-precision residual
+    ``r = b − A·x`` streams A from its seeded plgsy generator
+    panel-by-panel through ONE pooled fp64 buffer (native ``dla_plgsy``,
+    bit-identical to the device generator), exploiting symmetry so only
+    the lower panels are ever generated. Per refinement iteration the host
+    does O(N²) fp64 generate+FMA work; the correction solves run on the
+    device against the supplied low-precision factor (fp32 or bf16 —
+    ``potrs`` upcasts block-locally).
+
+    Args:
+      l: device-resident factor of the plgsy(seed, bump) matrix (lower
+        triangle meaningful), any storage dtype.
+      b_host: (n,) or (n, nrhs) float64 right-hand side.
+
+    Returns (x_f64, backward_error_f64, iters_used) — the reference's
+    solve gate is err ≤ 1e-10 (``v6_test.c:87`` analogue, BASELINE
+    config 3).
+    """
+    import numpy as np
+
+    from dla_tpu.runtime.staging import _aligned_empty, lib as _native
+
+    n = l.shape[-1]
+    if n % panel:
+        raise ValueError(f"n={n} must be a multiple of panel={panel}")
+    if bump is None:
+        bump = float(n)
+    lib = _native()
+    gen = lib.dla_plgsy_f64
+    work = _aligned_empty(n * panel * 8).view(np.float64)
+
+    vec = np.asarray(b_host).ndim == 1
+    b64 = np.asarray(b_host, np.float64).reshape(n, -1)
+
+    def stream_a(apply):
+        """apply(k0, a_panel) for each lower panel (rows k0.., cols
+        k0..k0+panel) of the fp64 generator output."""
+        for k0 in range(0, n, panel):
+            h = n - k0
+            a = work[: h * panel].reshape(h, panel)
+            gen(a.ctypes.data, panel, seed & 0xFFFFFFFF, k0, k0, h, panel,
+                bump)
+            apply(k0, a)
+
+    # ||A||_inf via streaming row sums (symmetric contributions)
+    rowsum = np.zeros(n)
+
+    def _norm(k0, a):
+        rowsum[k0:] += np.abs(a).sum(axis=1)
+        strict = a[panel:]
+        rowsum[k0 : k0 + panel] += np.abs(strict).sum(axis=0)
+
+    stream_a(_norm)
+    norm_a = rowsum.max()
+
+    def matvec(x):
+        y = np.zeros_like(x)
+
+        def _mv(k0, a):
+            y[k0:] += a @ x[k0 : k0 + panel]
+            strict = a[panel:]
+            y[k0 : k0 + panel] += strict.T @ x[k0 + panel :]
+
+        stream_a(_mv)
+        return y
+
+    solve = jax.jit(lambda r: potrs(l, r))
+    x = np.zeros_like(b64)
+    r = b64.copy()
+    err = np.inf
+    used = 0
+    for i in range(iters):
+        d = np.asarray(solve(jnp.asarray(r, jnp.float32)), np.float64)
+        x += d
+        r = b64 - matvec(x)  # host fp64, streamed from the generator
+        used = i + 1
+        err = np.abs(r).max() / (norm_a * max(np.abs(x).max(), 1e-300))
+        if on_iter:
+            on_iter(i, err)
         if err < tol:
             break
     x = x[:, 0] if vec else x

@@ -326,6 +326,7 @@ def trailing_update_lower(
     tb: int = 256,
     kb: int | None = None,
     alias: bool = True,
+    origin: int = 0,
     interpret: bool | None = None,
     vmem_limit_bytes: int | None = None,
     dimension_semantics: tuple | None = None,
@@ -344,16 +345,26 @@ def trailing_update_lower(
     prefetch against the writeback), but the *unvisited upper-triangle
     tiles are then undefined* — only callers that never read the upper
     triangle (e.g. ``potrf_shrink``) may use it.
+
+    ``origin`` (tile units): update the trailing submatrix starting at tile
+    (origin, origin) of a FULL (m, m) buffer in place — the in-place
+    formulation ``potrf_inplace`` uses so the shrinking trailing square is
+    never materialized as a slice copy (peak memory one N² buffer; the
+    panel ``p`` still has exactly the trailing rows). Requires ``alias``
+    (unvisited tiles must pass through).
     """
     m, m2 = c.shape
     if m != m2:
         raise ValueError("c must be square")
     if m % tb:
         raise ValueError(f"trailing size {m} must be a multiple of tb={tb}")
-    if p.shape[0] != m:
-        raise ValueError("panel rows must match c")
+    if origin and not alias:
+        raise ValueError("origin needs alias=True (untouched tiles must "
+                         "pass through the output)")
+    if p.shape[0] != m - origin * tb:
+        raise ValueError("panel rows must match the trailing window")
     interpret = _interpret() if interpret is None else interpret
-    nt = m // tb
+    nt = m // tb - origin
     i_host, j_host = _lower_pairs(nt)
     npairs = len(i_host)
     nb = p.shape[1]
@@ -367,11 +378,11 @@ def trailing_update_lower(
         num_scalar_prefetch=2,
         grid=(npairs, nk),
         in_specs=[
-            pl.BlockSpec((tb, tb), lambda g, k, i, j: (i[g], j[g])),
+            pl.BlockSpec((tb, tb), lambda g, k, i, j: (i[g] + origin, j[g] + origin)),
             pl.BlockSpec((tb, kb), lambda g, k, i, j: (i[g], k)),
             pl.BlockSpec((tb, kb), lambda g, k, i, j: (j[g], k)),
         ],
-        out_specs=pl.BlockSpec((tb, tb), lambda g, k, i, j: (i[g], j[g])),
+        out_specs=pl.BlockSpec((tb, tb), lambda g, k, i, j: (i[g] + origin, j[g] + origin)),
     )
     flops = 2 * npairs * tb * tb * nb
     kw = {"input_output_aliases": {2: 0}} if alias else {}

@@ -133,3 +133,95 @@ def cholesky_invariants(l: jax.Array) -> CholeskyInvariants:
         upper_maxabs=jnp.max(jnp.abs(jnp.triu(l, 1))) if l.shape[-1] > 1 else jnp.zeros((), l.dtype),
         fro_norm=lange("F", l),
     )
+
+
+def _mix32_jnp(x):
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def _probe_vec_jnp(n: int, seed: int):
+    """The native runtime's Freivalds probe vector (tilestore.cpp probe_x /
+    staging._probe_vec), on device: uniform in [-0.5, 0.5)."""
+    i = jnp.arange(n, dtype=jnp.uint32)
+    h = _mix32_jnp(i * jnp.uint32(0x9E3779B9) ^ jnp.uint32(seed & 0xFFFFFFFF))
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / 16777216.0) - 0.5
+
+
+def freivalds_device(
+    l: jax.Array,
+    *,
+    seed: int = 51,
+    bump: float | None = None,
+    probes: int = 2,
+    row_chunk: int = 4096,
+) -> jax.Array:
+    """On-device Freivalds residual for factors of seeded plgsy matrices too
+    large to reconstruct (or even to hold A in HBM): A is regenerated
+    chunk-by-chunk from its seed inside the loop — O(N²) work, peak extra
+    memory one (row_chunk, n) fp32 slab.
+
+    Returns ``max_p ||(A − L·Lᵀ)x_p||_inf / (||A||_inf ||x_p||_inf)`` —
+    the same contract as the out-of-core ``freivalds_streaming``
+    (staging.py), with identical probe vectors, so gates are comparable.
+    ``l``'s strict upper triangle is ignored (masked per chunk); bf16
+    factors are consumed natively (fp32 accumulation).
+    """
+    import functools
+
+    n = l.shape[-1]
+    if n % row_chunk:
+        raise ValueError(f"n={n} must be a multiple of row_chunk={row_chunk}")
+    if bump is None:
+        bump = float(n)
+    from dla_tpu.ops.lapack_like import plgsy_tile
+
+    x = jnp.stack(
+        [_probe_vec_jnp(n, 0xC0FFEE ^ p) for p in range(probes)], axis=1
+    )  # (n, probes) f32
+    xinf = jnp.abs(x).max(axis=0)
+    nchunks = n // row_chunk
+    cols = jnp.arange(n)
+    mm = functools.partial(
+        jnp.matmul, preferred_element_type=jnp.float32, precision="highest"
+    )
+
+    def ltri(r0):
+        """tril-masked fp32 rows [r0, r0+row_chunk) of l."""
+        lrow = jax.lax.dynamic_slice(
+            l, (r0, jnp.zeros_like(r0)), (row_chunk, n)
+        ).astype(jnp.float32)
+        rows = r0 + jnp.arange(row_chunk)
+        return jnp.where(cols[None, :] <= rows[:, None], lrow, 0.0)
+
+    # pass 1: u = Lᵀ x  (accumulated over row chunks)
+    def body_u(i, u):
+        r0 = i * row_chunk
+        lr = ltri(r0)
+        xr = jax.lax.dynamic_slice(x, (r0, 0), (row_chunk, x.shape[1]))
+        return u + mm(lr.T, xr)
+
+    u = jax.lax.fori_loop(0, nchunks, body_u, jnp.zeros_like(x))
+
+    # pass 2: per chunk, r_rows = A_rows·x − L_rows·u ; track ||·||_inf and
+    # the streaming ||A||_inf row sums
+    def body_r(i, acc):
+        num, na = acc
+        r0 = i * row_chunk
+        a_rows = plgsy_tile(seed, r0, 0, row_chunk, n, bump=bump,
+                            dtype=jnp.float32)
+        y = mm(a_rows, x)
+        z = mm(ltri(r0), u)
+        num = jnp.maximum(num, jnp.abs(y - z).max(axis=0))
+        na = jnp.maximum(na, jnp.abs(a_rows).sum(axis=1).max())
+        return num, na
+
+    num, norm_a = jax.lax.fori_loop(
+        0, nchunks, body_r,
+        (jnp.zeros_like(xinf), jnp.zeros((), jnp.float32)),
+    )
+    return (num / xinf).max() / norm_a

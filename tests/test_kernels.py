@@ -195,3 +195,38 @@ class TestTrailingKSplit:
     def test_kb_must_divide(self):
         with pytest.raises(ValueError):
             trailing_update_lower(jnp.zeros((64, 64)), jnp.zeros((64, 48)), tb=32, kb=32)
+
+
+class TestTrailingOrigin:
+    """origin= offset form (r3): in-place update of the (origin..nt)² tile
+    window of a FULL buffer — tiles outside the window pass through."""
+
+    def test_matches_sliced_form(self):
+        import numpy as np
+
+        from dla_tpu.kernels.pallas_tiles import trailing_update_lower
+
+        rng = np.random.default_rng(0)
+        n, tb, w = 128, 16, 32
+        o = 2  # origin tiles: window starts at row/col 32
+        c = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        p = jnp.asarray(rng.standard_normal((n - o * tb, w)), jnp.float32)
+        full = trailing_update_lower(c, p, tb=tb, origin=o, alias=True)
+        ref_win = trailing_update_lower(c[o * tb:, o * tb:], p, tb=tb, alias=True)
+        np.testing.assert_allclose(
+            np.tril(np.asarray(full[o * tb:, o * tb:])),
+            np.tril(np.asarray(ref_win)), rtol=1e-6, atol=1e-6)
+        # untouched region passes through
+        np.testing.assert_array_equal(
+            np.asarray(full[: o * tb]), np.asarray(c[: o * tb]))
+        np.testing.assert_array_equal(
+            np.asarray(full[:, : o * tb]), np.asarray(c[:, : o * tb]))
+
+    def test_origin_requires_alias(self):
+        from dla_tpu.kernels.pallas_tiles import trailing_update_lower
+
+        c = jnp.zeros((64, 64), jnp.float32)
+        p = jnp.zeros((32, 16), jnp.float32)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="alias"):
+            trailing_update_lower(c, p, tb=16, origin=2, alias=False)

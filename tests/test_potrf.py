@@ -322,3 +322,110 @@ class TestResidualChunked:
         bad = l.at[5, 3].add(0.1)
         assert float(residual_potrf(a, bad, assume_symmetric=True,
                                     row_chunk=32)) > 1e-5
+
+
+class TestPotrfInplace:
+    """Single-buffer formulation (r3): aliased full-buffer trailing kernel,
+    upper triangle passed through — the N=65536-in-core configuration."""
+
+    @pytest.mark.parametrize("n,nb,tb", [(256, 64, 32), (384, 128, 64)])
+    def test_vs_lapack_f64(self, n, nb, tb):
+        from dla_tpu.algos import potrf_inplace
+
+        a = plgsy(n, seed=n, dtype=jnp.float64)
+        out = potrf_inplace(a.copy(), nb=nb, tb=tb)
+        ref = scipy.linalg.cholesky(np.asarray(a), lower=True)
+        np.testing.assert_allclose(np.tril(np.asarray(out)), ref,
+                                   rtol=1e-9, atol=1e-9)
+        # the upper triangle passes through (diag-block interiors are
+        # zeroed by the tril'd L_kk block writes; off-block-diagonal upper
+        # entries keep the input values — check the top-right block)
+        np.testing.assert_array_equal(
+            np.asarray(out)[:nb, nb:], np.asarray(a)[:nb, nb:]
+        )
+
+    def test_mode_inplace_public_api(self):
+        a = plgsy(192, seed=9, dtype=jnp.float64)
+        l = potrf(a, nb=64, mode="inplace")
+        assert float(residual_potrf(a, l, assume_symmetric=True)) < PASS_THRESHOLD
+        assert np.abs(np.triu(np.asarray(l), 1)).max() == 0
+
+    def test_bf16_storage_residual_class(self):
+        """bf16 storage with fp32 accumulation: the storage-precision
+        study's policy point. Residual lands in the bf16 class
+        (~N·eps_bf16 ≈ 1e-1 gate at N=256; fp32 would be ~1e-5)."""
+        from dla_tpu.algos import potrf_inplace
+
+        n = 256
+        a32 = plgsy(n, seed=11, dtype=jnp.float32)
+        out = potrf_inplace(a32.astype(jnp.bfloat16), nb=64, tb=32)
+        l = np.tril(np.asarray(out, dtype=np.float64))
+        aref = np.asarray(a32, np.float64)
+        res = np.abs(aref - l @ l.T).max() / np.abs(aref).max()
+        assert np.isfinite(res) and res < n * 2 * 0.0039, res  # bf16 class
+        assert res > 1e-5  # honest: it IS bf16-storage-limited
+
+
+class TestFreivaldsDevice:
+    """On-device chunked Freivalds (r3): the at-scale in-core validator
+    (N=65536 bf16 can hold neither A nor a reconstruction in HBM)."""
+
+    def test_probe_parity_with_native(self):
+        from dla_tpu.runtime.staging import _probe_vec
+        from dla_tpu.validate.residual import _probe_vec_jnp
+
+        np.testing.assert_allclose(
+            np.asarray(_probe_vec_jnp(257, 0xC0FFEE ^ 1)),
+            _probe_vec(257, 0xC0FFEE ^ 1).astype(np.float32), rtol=0, atol=0)
+
+    def test_fp32_factor_gate(self):
+        from dla_tpu.validate import freivalds_device
+
+        n = 512
+        a = plgsy(n, seed=51, dtype=jnp.float32)
+        l = potrf(a, nb=128, mode="shrink")
+        res = float(freivalds_device(l, seed=51, probes=2, row_chunk=128))
+        assert np.isfinite(res) and res < n * 2e-7, res
+
+    def test_detects_corruption(self):
+        from dla_tpu.validate import freivalds_device
+
+        n = 256
+        a = plgsy(n, seed=51, dtype=jnp.float32)
+        l = potrf(a, nb=64)
+        bad = l.at[100, 7].add(0.5)
+        assert float(freivalds_device(bad, seed=51, row_chunk=64)) > 1e-5
+
+    def test_bf16_factor_class(self):
+        from dla_tpu.algos import potrf_inplace
+        from dla_tpu.validate import freivalds_device
+
+        n = 512
+        a = plgsy(n, seed=51, dtype=jnp.float32)
+        out = potrf_inplace(a.astype(jnp.bfloat16), nb=128, tb=64)
+        res = float(freivalds_device(out, seed=51, row_chunk=128))
+        assert np.isfinite(res) and 1e-6 < res < n * 2 * 0.0039, res
+
+
+class TestPosvRefinedStreamed:
+    """Streamed-A refinement (r3): the N≫host-RAM solve configuration —
+    must hit the reference's 1e-10 gate from fp32 AND bf16 factors."""
+
+    @pytest.mark.parametrize("store_dtype", ["float32", "bfloat16"])
+    def test_gate_1e10(self, store_dtype):
+        from dla_tpu.algos import posv_refined_streamed
+        from dla_tpu.algos.potrf import potrf_inplace
+
+        n, panel = 512, 128
+        dt = jnp.float32 if store_dtype == "float32" else jnp.bfloat16
+        a = plgsy(n, seed=51, dtype=jnp.float32)
+        l = potrf_inplace(a.astype(dt), nb=128, tb=64)
+        rng = np.random.default_rng(5)
+        b = rng.standard_normal(n)
+        x, err, used = posv_refined_streamed(
+            l, b, seed=51, panel=panel, iters=30, tol=1e-11)
+        assert err < 1e-10, (store_dtype, err, used)
+        # cross-check against a dense fp64 solve
+        a64 = np.asarray(plgsy(n, seed=51, dtype=jnp.float64))
+        ref = np.linalg.solve(a64, b)
+        np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-9)
