@@ -470,7 +470,9 @@ def potrf(
         # non-mutating potrf() contract gets a defensive copy, and tril
         # restores the zeros-above contract (the raw function passes the
         # upper triangle through)
-        tb = kw.pop("tb", None) or min(nb, 256)
+        # trailing tile 1024 is the measured-fastest grid at bench NB
+        # (8192); fall back to nb itself when 1024 doesn't divide it
+        tb = kw.pop("tb", None) or (1024 if nb % 1024 == 0 else nb)
         return jnp.tril(potrf_inplace(jnp.array(a), nb=nb, tb=tb, **kw))
     if mode == "masked":
         n = a.shape[-1]

@@ -182,7 +182,11 @@ def posv_refined_host(
     l = potrf_shrink(jnp.asarray(asym, jnp.float32), nb=nb, **(potrf_kwargs or {}))
     l.block_until_ready()
 
-    solve = jax.jit(lambda r: potrs(l, r))
+    # the factor is a jit ARGUMENT, not a closure capture: capturing bakes
+    # the n² factor into the program as a constant that XLA serializes
+    # through several host-side copies before compiling (GBs of fresh
+    # pages on this balloon-throttled VM — the r3 Phase-B stall)
+    solve = jax.jit(potrs)
 
     norm_a = np.abs(asym).sum(axis=1).max()
     x = np.zeros_like(b64)
@@ -190,7 +194,7 @@ def posv_refined_host(
     err = np.inf
     used = 0
     for i in range(iters):
-        d = np.asarray(solve(jnp.asarray(r, jnp.float32)), np.float64)
+        d = np.asarray(solve(l, jnp.asarray(r, jnp.float32)), np.float64)
         x += d
         r = b64 - asym @ x  # host fp64 — the only trustworthy wide dtype
         used = i + 1
@@ -281,13 +285,13 @@ def posv_refined_streamed(
         stream_a(_mv)
         return y
 
-    solve = jax.jit(lambda r: potrs(l, r))
+    solve = jax.jit(potrs)  # l as ARGUMENT — see posv_refined_host note
     x = np.zeros_like(b64)
     r = b64.copy()
     err = np.inf
     used = 0
     for i in range(iters):
-        d = np.asarray(solve(jnp.asarray(r, jnp.float32)), np.float64)
+        d = np.asarray(solve(l, jnp.asarray(r, jnp.float32)), np.float64)
         x += d
         r = b64 - matvec(x)  # host fp64, streamed from the generator
         used = i + 1

@@ -145,7 +145,9 @@ def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="
         gen,
     ]
     if mode in ("blocked", "shrink"):
-        cmd += ["--panel", panel, "--trailing", trailing, "--diag", diag]
+        cmd += ["--panel", panel, "--trailing", trailing]
+    if mode in ("blocked", "shrink", "inplace"):
+        cmd += ["--diag", diag]
         if precision:
             cmd += ["--precision", precision]
     if mode == "distributed":

@@ -132,7 +132,26 @@ def main(argv=None) -> int:
     )
     t1 = time.perf_counter()
     print(f"Elapsed: {(t1 - t0) * 1e3:.1f} ms")
-    print(f"Performance: {gflops(potrf_flops(n), t1 - t0):.2f} Gflop/s")
+    npan_total = n // args.panel
+    if stats["panels"] < npan_total:
+        # resumed run: quote the rate over the flops THIS process executed
+        # (sum over its panels of update+factor work), not the full n³/3 —
+        # the full-problem number would overstate a resume (r3 honesty fix)
+        done_before = npan_total - stats["panels"]
+        flops_here = 0.0
+        for j in range(npan_total):
+            ph = n - j * args.panel
+            fj = 2.0 * j * ph * args.panel**2 + ph * args.panel**2
+            if j >= done_before:
+                flops_here += fj
+        print(
+            f"Performance: {gflops(flops_here, t1 - t0):.2f} Gflop/s "
+            f"(resumed: {stats['panels']}/{npan_total} panels, "
+            f"{flops_here / potrf_flops(n) * 100:.0f}% of the flops, "
+            f"this process)"
+        )
+    else:
+        print(f"Performance: {gflops(potrf_flops(n), t1 - t0):.2f} Gflop/s")
     if stats["panels"]:
         gib = 2**30
         print(

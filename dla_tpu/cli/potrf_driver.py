@@ -60,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--q", type=int, default=None, help="mesh cols (distributed)")
     ap.add_argument(
         "--mode",
-        choices=["blocked", "masked", "shrink", "distributed"],
+        choices=["blocked", "masked", "shrink", "inplace", "distributed"],
         default=None,
     )
     ap.add_argument(
@@ -285,6 +285,12 @@ def main(argv=None) -> int:
                   "diag_factor": args.diag}
             if args.precision:
                 kw["precision"] = args.precision
+        elif cfg.mode == "inplace":
+            # single-buffer formulation (bf16-storage capable); takes
+            # diag/precision but no panel/trailing backends
+            kw = {"diag_factor": args.diag}
+            if args.precision:
+                kw["precision"] = args.precision
 
         def run():
             l = potrf(a, nb=cfg.nb, mode=cfg.mode, uplo=cfg.uplo, **kw)
@@ -339,11 +345,15 @@ def main(argv=None) -> int:
             # inside the validator (assume_symmetric would read zero uppers).
             av = jnp.conj(jnp.triu(a)).swapaxes(-1, -2)
             lv = jnp.conj(l).swapaxes(-1, -2)
+        # large N: row-chunked reconstruction (no N² temporary — the
+        # monolithic form defeats buffer donation and OOMs toward N≈40k)
+        chunk = 4096 if cfg.n >= 16384 and cfg.n % 4096 == 0 else None
         res = float(
             jax.jit(
                 functools.partial(
                     residual_potrf,
                     assume_symmetric=not args.input and cfg.uplo != "U",
+                    row_chunk=chunk,
                 )
             )(av, lv)
         )
@@ -355,7 +365,10 @@ def main(argv=None) -> int:
         elif jnp.dtype(cfg.dtype) in (jnp.float32, jnp.complex64):
             gate = max(1e-10, cfg.n * 2e-7)
         else:
-            gate = max(1e-10, cfg.n * 2e-2)
+            # bfloat16 storage: factor entries carry eps_bf16 ≈ 7.8e-3
+            # rounding but accumulation is fp32, so the residual grows
+            # ~√N·eps_bf16 (measured 6.4e-04 at N=2048, ~14× headroom)
+            gate = max(1e-10, cfg.n**0.5 * 2e-4)
         if res < gate and np.isfinite(res):
             print(f"PASS (residual < {gate:g})")
         else:

@@ -13,11 +13,17 @@ dispatched through Chameleon→StarPU→OpenBLAS/cuBLAS
 - :func:`trsm_tile`     — tile solve against a pre-inverted factor (MXU dot).
 - :func:`syrk_tile`     — C ← C − A·A^T on the lower triangle (MXU + mask).
 - :func:`gemm_tile`     — C ← C − A_i·A_j^T (MXU).
-- :func:`panel_factor`  — the fused hot kernel: one ``pallas_call`` factors
+- :func:`panel_factor`  — fused panel kernel: one ``pallas_call`` factors
   the diagonal tile, keeps inv(L_kk) in VMEM scratch (scratch persists
   across the sequential TPU grid), and streams every below-diagonal panel
   tile through the MXU — the whole panel step of the right-looking
   algorithm in a single kernel launch instead of one StarPU task per tile.
+  **Status (honest):** capped at nb ≤ 512 by its VMEM budget and therefore
+  NOT on the shipping path — the bench config is NB=8192 with the
+  ``blocktrsm`` XLA panel, which beat it end-to-end (docs/ROADMAP.md
+  negative results). It remains as the per-tile task-kernel parity point
+  and is exercised by tests; ``trailing_update_lower`` is the Pallas
+  kernel that actually carries the headline flops.
 - :func:`trailing_update_lower` — the trailing SYRK/GEMM wave for one panel
   as a single kernel: a 1D grid over the *lower-triangle tile pairs only*
   (scalar-prefetched (i, j) lists drive the BlockSpec index maps), so no

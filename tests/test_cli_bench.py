@@ -58,8 +58,9 @@ class TestConfig:
         with pytest.raises(ValueError):
             RunConfig(n=-1, nb=4)
         assert RunConfig(n=8, nb=4, uplo="U").uplo == "U"
+        assert RunConfig(n=8, nb=4, uplo="b").uplo == "B"  # both (r3)
         with pytest.raises(ValueError):
-            RunConfig(n=8, nb=4, uplo="B")  # generator fill mode, not a side
+            RunConfig(n=8, nb=4, uplo="X")
 
 
 class TestFlops:
