@@ -133,6 +133,32 @@ class TestDriverEndToEnd:
         assert "Performance:" in r.stdout
         assert "PASS" in r.stdout
 
+    def test_driver_inplace_bf16(self):
+        # the r3 split-precision policy surface: single-buffer formulation
+        # with bfloat16 storage, √N·eps_bf16 residual gate
+        r = _run(
+            [
+                sys.executable,
+                "-m",
+                "dla_tpu.cli.potrf_driver",
+                "--n",
+                "256",
+                "--nb",
+                "64",
+                "--dtype",
+                "h",
+                "--mode",
+                "inplace",
+                "--diag",
+                "twolevel",
+                "--platform",
+                "cpu",
+            ]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "Performance:" in r.stdout
+        assert "PASS" in r.stdout
+
     def test_driver_distributed(self):
         r = _run(
             [
