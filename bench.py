@@ -92,21 +92,42 @@ def main():
         f"trailing={trailing} tb={tb} kb={kb} alias={alias} diag={diag} tiers={tiers}"
     )
 
-    dtype = jnp.float32
     idx = jnp.arange(n)
     t_start = time.perf_counter()
 
-    @jax.jit
-    def gen(s):
-        # the per-iteration bump perturbation keeps any execution-level
-        # caching honest across timed repeats
-        a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
-        return a.at[idx, idx].add(s)
+    def make_gen(dt):
+        @jax.jit
+        def gen(s):
+            # the per-iteration bump perturbation keeps any execution-level
+            # caching honest across timed repeats
+            a = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
+            a = a.at[idx, idx].add(s)
+            return a if dt == jnp.float32 else a.astype(dt)
+
+        return gen
 
     chain_k = int(os.environ.get("BENCH_CHAIN", 4))
 
-    def run_tier(prec: str):
+    def run_tier(prec: str, *, storage: str = "float32",
+                 formulation: str = "shrink"):
+        """One (precision tier, storage dtype, formulation) measurement.
+
+        The default storage/formulation is the library headline path
+        (fp32 shrink); ``storage="bfloat16", formulation="inplace"`` is
+        the split-precision policy from the r3 study (half the HBM
+        bytes through the single-buffer ``potrf_inplace``)."""
+        dt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
+        tag = prec if dt == jnp.float32 else f"bf16/{prec}"
+        gen = make_gen(dt)
+
         def step(a):
+            if formulation == "inplace":
+                from dla_tpu.algos import potrf_inplace
+
+                return potrf_inplace(
+                    a, nb=nb, tb=tb, kb=kb, diag_factor=diag_for(prec),
+                    precision=prec,
+                )
             return potrf_shrink(
                 a, nb=nb, panel=panel, trailing=trailing, tb=tb, kb=kb,
                 trailing_alias=alias, diag_factor=diag_for(prec),
@@ -124,7 +145,7 @@ def main():
         l = fn(a)
         _ = float(l[0, 0])  # scalar readback: block_until_ready is unreliable here
         compile_s = time.perf_counter() - t0
-        log(f"[{prec}] compile+first run: {compile_s:.1f}s")
+        log(f"[{tag}] compile+first run: {compile_s:.1f}s")
         times = []
         for i in range(iters):
             l = None  # drop the previous factor BEFORE regenerating: holding
@@ -136,7 +157,7 @@ def main():
             _ = float(l[n - 1, n - 1])
             t1 = time.perf_counter()
             times.append(t1 - t0)
-            log(f"[{prec}] iter {i}: {t1 - t0:.4f}s -> {(n**3 / 3) / (t1 - t0) / 1e9:.1f} GFLOP/s")
+            log(f"[{tag}] iter {i}: {t1 - t0:.4f}s -> {(n**3 / 3) / (t1 - t0) / 1e9:.1f} GFLOP/s")
         t = sorted(times)[len(times) // 2]  # median, matching plot_grid_all.py
         gflops_raw = (n**3 / 3) / t / 1e9
 
@@ -154,11 +175,15 @@ def main():
         chain = None
         if chain_k:
             def genf(s):
-                a = plgsy(n, bump=float(n), seed=51, dtype=dtype)
-                return a.at[idx, idx].add(1e-3 + s * 1e-9)
+                a = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
+                a = a.at[idx, idx].add(1e-3 + s.astype(jnp.float32) * 1e-9)
+                return a if dt == jnp.float32 else a.astype(dt)
 
-            cf = jax.jit(lambda s: step(genf(s))[n - 1, n - 1])
-            cg = jax.jit(lambda s: genf(s)[n - 1, n - 1])
+            # the scalar carry stays f32 so the chained call never
+            # retraces (bf16 storage would otherwise flip the carry dtype
+            # after the first link)
+            cf = jax.jit(lambda s: step(genf(s))[n - 1, n - 1].astype(jnp.float32))
+            cg = jax.jit(lambda s: genf(s)[n - 1, n - 1].astype(jnp.float32))
             s0 = jnp.float32(0.0)
             _ = float(cf(s0)); _ = float(cg(s0))  # compile + warm
             t0 = time.perf_counter()
@@ -179,7 +204,7 @@ def main():
                 "gen_chain_s": round(t_g, 4), "per_factor_s": round(per, 4),
             }
             gflops = (n**3 / 3) / per / 1e9
-            log(f"[{prec}] chained x{chain_k}: {per:.4f}s/factor -> "
+            log(f"[{tag}] chained x{chain_k}: {per:.4f}s/factor -> "
                 f"{gflops:.1f} GFLOP/s (gen {t_g / chain_k:.4f}s)")
 
         trace_dir = os.environ.get("BENCH_TRACE")
@@ -195,7 +220,7 @@ def main():
                 _ = float(l2[n - 1, n - 1])
             l2 = None  # free before validation — l2 + a + l + check
             # internals exceed HBM at N=32768 otherwise
-            log(f"[{prec}] profiler trace written to {trace_dir}/{prec}")
+            log(f"[{tag}] profiler trace written to {trace_dir}/{prec}")
 
         # validate OUTSIDE the check program (regenerating A inside it adds
         # plgsy + diag-add temporaries — 16G > 15.75G HBM at N=32768). The
@@ -215,8 +240,8 @@ def main():
         )
         res = float(check(a, l))
         l = None
-        log(f"[{prec}] Performance: {gflops:.2f} Gflop/s")
-        log(f"[{prec}] ||A - LL^T||_inf / ||A||_inf = {res:.2e}")
+        log(f"[{tag}] Performance: {gflops:.2f} Gflop/s")
+        log(f"[{tag}] ||A - LL^T||_inf / ||A||_inf = {res:.2e}")
         out = {"gflops": round(gflops, 1), "gflops_raw": round(gflops_raw, 1),
                "residual": res, "compile_s": round(compile_s, 1)}
         if chain:
@@ -235,6 +260,18 @@ def main():
                 log(f"[{prec}] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
                 continue
         results[prec] = run_tier(prec)
+
+    # bf16-storage split-precision policy (r3 study): half the HBM bytes
+    # through the single-buffer potrf_inplace — its own `tiers` entry,
+    # never the headline
+    if os.environ.get("BENCH_BF16", "1") == "1" and results:
+        elapsed = time.perf_counter() - t_start
+        est = max(r["compile_s"] for r in results.values()) + 10
+        if elapsed + est > budget_s:
+            log(f"[bf16/default] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
+        else:
+            results["bf16_default_inplace"] = run_tier(
+                "default", storage="bfloat16", formulation="inplace")
 
     from dla_tpu.utils.precision import DEFAULT as LIB_DEFAULT_PRECISION
 

@@ -67,9 +67,16 @@ def main():
                     modes=("inplace",), diag="twolevel",
                     precision="default", dtypes=("bfloat16",), repeats=8,
                     timeout_s=2400.0, max_retries=1),
-        # 5. fp32 in-core frontier at default (1 config)
-        SweepConfig(ns=(40960,), nbs=(8192,), precision="default",
-                    **shrink),
+        # 5. fp32 in-core frontier at default. shrink at N=40960 is
+        # infeasible (measured: child dies before repeat 0 — peak
+        # ≈2.5·N² = 15.6 GiB plus temporaries exceeds the 15.75 GiB chip;
+        # the failed row stays in the CSV as the frontier evidence). The
+        # single-buffer inplace formulation (peak ≈ N² + one panel)
+        # carries the fp32 frontier to N=49152 (9.2 GiB) instead.
+        SweepConfig(ns=(40960, 49152), nbs=(8192,),
+                    modes=("inplace",), diag="twolevel",
+                    precision="default", dtypes=("float32",), repeats=8,
+                    timeout_s=2400.0, max_retries=1),
     ]
     total = 0
     for cfg in campaigns:

@@ -62,6 +62,12 @@ CSV_COLUMNS = [
 _PERF_RE = re.compile(r"Performance:\s*([0-9.eE+-]+)\s*Gflop/s")
 _REPEAT_RE = re.compile(r"Repeat (\d+): ([0-9.eE+-]+) ms ([0-9.eE+-]+) Gflop/s")
 _RES_RE = re.compile(r"\|\|A - LL\^T\|\|_inf / \|\|A\|\|_inf\s*=\s*([0-9.eE+-]+)")
+# in-core-frontier configs validate matrix-free (driver's device-Freivalds
+# fallback — same probe/gate contract as the out-of-core path); its residual
+# fills rel_error when the exact-reconstruction line is absent
+_FREIVALDS_RE = re.compile(
+    r"freivalds \|\|\(A - LL\^T\)x\|\| / \(\|\|A\|\| \|\|x\|\|\)\s*=\s*([0-9.eE+-]+)"
+)
 _ELAPSED_RE = re.compile(r"Elapsed:\s*([0-9.eE+-]+)\s*ms")
 
 
@@ -110,7 +116,7 @@ def parse_metrics(stdout: str) -> tuple[float | None, float | None, float | None
     """Extract (gflops, rel_error, elapsed_ms) from driver stdout — the same
     text contract the reference harness greps (``benchmark.c:45-67``)."""
     perf = _PERF_RE.search(stdout)
-    res = _RES_RE.search(stdout)
+    res = _RES_RE.search(stdout) or _FREIVALDS_RE.search(stdout)
     ms = _ELAPSED_RE.search(stdout)
     return (
         float(perf.group(1)) if perf else None,

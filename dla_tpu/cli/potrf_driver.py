@@ -259,6 +259,8 @@ def main(argv=None) -> int:
         # present the matrix through its upper triangle (A = U^H U surface)
         a = jnp.conj(jnp.tril(a)).swapaxes(-1, -2) if not args.input else a
 
+    inplace_regen = False
+    prep = None  # optional un-timed per-repeat setup (regenerate donated A)
     if cfg.mode == "distributed":
         from dla_tpu.parallel import (
             BlockCyclicLayout,
@@ -303,12 +305,48 @@ def main(argv=None) -> int:
             kw = {"diag_factor": args.diag}
             if args.precision:
                 kw["precision"] = args.precision
+            # seeded-plgsy inputs can be regenerated at will, so each repeat
+            # donates its input into potrf_inplace and the next repeat
+            # regenerates fresh (un-timed — generation is not part of the
+            # reference's factorization timing, benchmark.c:201-229). The
+            # generic path below keeps A live across repeats, which doubles
+            # peak HBM (the public potrf() also adds a defensive copy +
+            # tril) and caps fp32 at N≈32k; this path carries the fp32
+            # in-core frontier to N=49152 on a 16 GiB chip.
+            inplace_regen = (
+                not args.input and view is None and cfg.uplo == "L"
+                and cfg.gen == "plgsy" and not is_complex
+            )
 
-        def run():
-            l = potrf(a, nb=cfg.nb, mode=cfg.mode, uplo=cfg.uplo, **kw)
-            # force completion (remote TPU); real() for c/z dtypes
-            _ = float(jnp.real(l[cfg.n - 1, cfg.n - 1]))
-            return l
+        if inplace_regen:
+            from dla_tpu.algos import potrf_inplace
+
+            tb = 1024 if cfg.nb % 1024 == 0 else cfg.nb
+            box = {"a": a}
+            a = None  # the repeats own (and donate) the buffer from here on
+
+            def fresh_a():
+                return jax.block_until_ready(
+                    plgsy(cfg.n, bump=bump, seed=cfg.seed, dtype=dtype)
+                )
+
+            def prep():
+                if box["a"] is None:
+                    box["a"] = fresh_a()
+
+            def run():
+                a_i = box["a"]
+                box["a"] = None
+                l = potrf_inplace(a_i, nb=cfg.nb, tb=tb, **kw)
+                _ = float(jnp.real(l[cfg.n - 1, cfg.n - 1]))
+                return l
+
+        else:
+            def run():
+                l = potrf(a, nb=cfg.nb, mode=cfg.mode, uplo=cfg.uplo, **kw)
+                # force completion (remote TPU); real() for c/z dtypes
+                _ = float(jnp.real(l[cfg.n - 1, cfg.n - 1]))
+                return l
 
     # Repeat 0 = warm-up/compile (the reference's STARPU_CALIBRATE repeat,
     # benchmark.c:201); further repeats are timed in-process — on this
@@ -328,6 +366,8 @@ def main(argv=None) -> int:
         # across run() adds a full N² buffer to peak HBM (OOM at N=32768
         # fp32 on a 16 GiB chip); only the last repeat's L is validated
         l = None
+        if prep is not None:
+            prep()  # un-timed: regenerate the donated input buffer
         t0 = time.perf_counter()
         l = run()
         t1 = time.perf_counter()
@@ -340,7 +380,34 @@ def main(argv=None) -> int:
     print(f"Performance: {perf:.2f} Gflop/s")
 
     rc = 0
-    if cfg.check:
+    res = None
+    if cfg.check and inplace_regen:
+        # the repeats donated every A. When A, L and the hoisted Lᵀ cannot
+        # co-reside on the chip (the in-core frontier sizes this formulation
+        # exists for), validate matrix-free: device Freivalds regenerates A
+        # chunkwise from its seed — the same probe/gate contract as the
+        # out-of-core path (oocore_driver). Otherwise regenerate one A and
+        # fall through to the exact residual below.
+        need = 3 * cfg.n * cfg.n * jnp.dtype(cfg.dtype).itemsize
+        budget = int(
+            os.environ.get("DLA_TPU_VALIDATE_HBM_BUDGET", 14_500_000_000)
+        )
+        chunk_f = next(
+            (c for c in (4096, 2048, 1024, 512, 256, 128) if cfg.n % c == 0),
+            None,
+        )
+        if need > budget and chunk_f:
+            from dla_tpu.validate import freivalds_device
+
+            res = float(
+                freivalds_device(
+                    l, seed=cfg.seed, bump=bump, probes=2, row_chunk=chunk_f
+                )
+            )
+            print(f"freivalds ||(A - LL^T)x|| / (||A|| ||x||) = {res:.2e}")
+        else:
+            a = fresh_a()
+    if cfg.check and res is None:
         import functools
 
         # jit the validation: eager execution materializes every N² temporary
@@ -381,6 +448,7 @@ def main(argv=None) -> int:
             )(av, lv)
         )
         print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
+    if cfg.check:
         if args.gate is not None:
             gate = args.gate
         elif jnp.dtype(cfg.dtype) in (jnp.float64, jnp.complex128):

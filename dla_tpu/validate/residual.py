@@ -64,8 +64,23 @@ def residual_potrf(
         wide = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
     else:
         wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    aa = a.astype(wide) if assume_symmetric else _symmetrize_lower(a.astype(wide))
-    ll = l.astype(wide) if assume_tril else jnp.tril(l).astype(wide)
+    # Half-precision storage + chunked mode: keep the N² operands in storage
+    # precision and upcast per-chunk only. bf16×bf16 products are exact in
+    # the MXU's wide accumulator (preferred_element_type), so the
+    # measurement is as good as the global-upcast path while holding 2-byte
+    # N² buffers — the global f32 upcast of A, L and the hoisted Lᵀ costs
+    # 3×4 GiB on top of the 2×2 GiB inputs at N=32768 and OOMs a 16 GiB
+    # chip (r3: the bf16 campaign/bench validation failure mode).
+    low_storage = row_chunk is not None and a.dtype in (
+        jnp.bfloat16,
+        jnp.float16,
+    )
+    if low_storage:
+        aa = a if assume_symmetric else _symmetrize_lower(a)
+        ll = l if assume_tril else jnp.tril(l)
+    else:
+        aa = a.astype(wide) if assume_symmetric else _symmetrize_lower(a.astype(wide))
+        ll = l.astype(wide) if assume_tril else jnp.tril(l).astype(wide)
     if row_chunk is None:
         # precision pinned: the validator's own reconstruction must not run
         # at the TPU's default bf16 matmul precision, or the measurement
@@ -85,10 +100,10 @@ def residual_potrf(
     def body(i, acc):
         num_acc, den_acc = acc
         r0 = i * row_chunk
-        arow = jax.lax.dynamic_slice(aa, (r0, 0), (row_chunk, n))
+        arow = jax.lax.dynamic_slice(aa, (r0, 0), (row_chunk, n)).astype(wide)
         lrow = jax.lax.dynamic_slice(ll, (r0, 0), (row_chunk, n))
         rec = jnp.matmul(lrow, llt, preferred_element_type=wide, precision="highest")
-        dif = jnp.abs(arow - rec)
+        dif = jnp.abs(arow - rec.astype(wide))
         absa = jnp.abs(arow)
         if maxnorm:
             return jnp.maximum(num_acc, dif.max()), jnp.maximum(den_acc, absa.max())

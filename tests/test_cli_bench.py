@@ -30,8 +30,9 @@ def _env():
 
 
 def _run(cmd, **kw):
+    kw.setdefault("env", _env())
     return subprocess.run(
-        cmd, capture_output=True, text=True, env=_env(), timeout=600, **kw
+        cmd, capture_output=True, text=True, timeout=600, **kw
     )
 
 
@@ -110,6 +111,16 @@ class TestParseMetrics:
         gf, res, ms = parse_metrics(out)
         assert gf == 123.45 and res == 5.46e-16 and ms == 12.3
 
+    def test_parse_freivalds_fallback(self):
+        # frontier configs validate matrix-free; the freivalds residual
+        # must fill rel_error when the exact-reconstruction line is absent
+        out = (
+            "Elapsed: 12.3 ms\nPerformance: 123.45 Gflop/s\n"
+            "freivalds ||(A - LL^T)x|| / (||A|| ||x||) = 8.96e-07\nPASS\n"
+        )
+        gf, res, ms = parse_metrics(out)
+        assert gf == 123.45 and res == 8.96e-07 and ms == 12.3
+
 
 @pytest.mark.slow
 class TestDriverEndToEnd:
@@ -157,6 +168,32 @@ class TestDriverEndToEnd:
         )
         assert r.returncode == 0, r.stdout + r.stderr
         assert "Performance:" in r.stdout
+        assert "PASS" in r.stdout
+
+    def test_driver_inplace_frontier_freivalds(self):
+        # in-core-frontier validation: when (A, L, Lᵀ) exceed the device
+        # budget the driver validates matrix-free via device Freivalds
+        # (budget forced tiny so the path runs at test scale)
+        r = _run(
+            [
+                sys.executable,
+                "-m",
+                "dla_tpu.cli.potrf_driver",
+                "--n",
+                "256",
+                "--nb",
+                "64",
+                "--dtype",
+                "s",
+                "--mode",
+                "inplace",
+                "--platform",
+                "cpu",
+            ],
+            env={**_env(), "DLA_TPU_VALIDATE_HBM_BUDGET": "1000"},
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "freivalds" in r.stdout
         assert "PASS" in r.stdout
 
     def test_driver_distributed(self):

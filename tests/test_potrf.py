@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -322,6 +323,30 @@ class TestResidualChunked:
         bad = l.at[5, 3].add(0.1)
         assert float(residual_potrf(a, bad, assume_symmetric=True,
                                     row_chunk=32)) > 1e-5
+
+    def test_bf16_low_storage_matches_upcast(self):
+        """bf16 storage + row_chunk keeps the N² operands in bf16 (per-chunk
+        upcast; exact bf16×bf16 products in the wide accumulator) — the
+        global-upcast monolithic path OOMs a 16 GiB chip at N=32768 (r3
+        campaign failure). Must agree with the monolithic measurement."""
+        from dla_tpu.algos import potrf_inplace
+
+        n = 512
+        ab = plgsy(n, bump=float(n), seed=7,
+                   dtype=jnp.float32).astype(jnp.bfloat16)
+        lb = potrf_inplace(ab.copy(), nb=256, tb=256)
+        mono = float(residual_potrf(ab, lb, assume_symmetric=True))
+        chunk = float(residual_potrf(ab, lb, assume_symmetric=True,
+                                     row_chunk=128))
+        tril = float(jax.jit(lambda x, y: residual_potrf(
+            x, y, assume_symmetric=True, assume_tril=True,
+            row_chunk=128))(ab, jnp.tril(lb)))
+        assert abs(mono - chunk) <= 0.05 * mono, (mono, chunk)
+        assert abs(mono - tril) <= 0.05 * mono, (mono, tril)
+        # and it still detects corruption
+        bad = lb.at[5, 3].add(1.0)
+        assert float(residual_potrf(ab, bad, assume_symmetric=True,
+                                    row_chunk=128)) > 1e-2
 
 
 class TestPotrfInplace:
