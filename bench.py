@@ -59,6 +59,8 @@ def main():
     tb = int(os.environ.get("BENCH_TB", 1024))
     kb = int(os.environ.get("BENCH_KB", 256))
     alias = os.environ.get("BENCH_ALIAS", "0") == "1"
+    ib = int(os.environ.get("BENCH_IB", 512))  # panel blocked-TRSM / twolevel
+    # diag inner block (r3 sweep knob)
     # diag-factor backend per tier (measured, results/micro3_r2.jsonl): the
     # two-level MXU factor wins big at default (0.4 ms vs 20 ms) and mildly
     # at high, but loses to lax at highest (12.6 ms vs 5.9 ms — the 6-pass
@@ -70,8 +72,16 @@ def main():
     )
     diag = diag_env
     # headline tier first (the library default), so a tight time budget
-    # still yields the headline number
-    tiers = os.environ.get("BENCH_PRECISIONS", "high,highest,default").split(",")
+    # still yields the headline number. Each entry is `precision` or
+    # `precision:formulation` (shrink is the default formulation; the r3
+    # study found single-buffer `inplace` beats shrink at the high tier —
+    # no trailing-square re-materialization traffic)
+    # inplace first: it is the measured-fastest high-tier formulation (r3:
+    # 47.2 vs 43.9 TF/s chained, identical residual), so a compile-queue
+    # stall that eats the budget still leaves the best headline
+    tiers = os.environ.get(
+        "BENCH_PRECISIONS", "high:inplace,high,default,highest"
+    ).split(",")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
     import jax
@@ -118,6 +128,8 @@ def main():
         bytes through the single-buffer ``potrf_inplace``)."""
         dt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
         tag = prec if dt == jnp.float32 else f"bf16/{prec}"
+        if formulation != "shrink":
+            tag += f"/{formulation}"
         gen = make_gen(dt)
 
         def step(a):
@@ -126,12 +138,12 @@ def main():
 
                 return potrf_inplace(
                     a, nb=nb, tb=tb, kb=kb, diag_factor=diag_for(prec),
-                    precision=prec,
+                    precision=prec, ib=ib,
                 )
             return potrf_shrink(
                 a, nb=nb, panel=panel, trailing=trailing, tb=tb, kb=kb,
                 trailing_alias=alias, diag_factor=diag_for(prec),
-                precision=prec,
+                precision=prec, ib=ib,
             )
 
         # generation happens OUTSIDE the timed region — the reference times
@@ -249,17 +261,20 @@ def main():
         return out
 
     results: dict[str, dict] = {}
-    for i, prec in enumerate(tiers):
-        prec = prec.strip()
+    for i, spec in enumerate(tiers):
+        spec = spec.strip()
+        prec, _, form = spec.partition(":")
         elapsed = time.perf_counter() - t_start
         if i > 0 and results:
             # each further tier costs roughly one compile + iters; skip if the
             # remaining budget cannot absorb it (the headline has priority)
             est = max(r["compile_s"] for r in results.values()) + 10
             if elapsed + est > budget_s:
-                log(f"[{prec}] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
+                log(f"[{spec}] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
                 continue
-        results[prec] = run_tier(prec)
+        results[spec.replace(":", "_")] = run_tier(
+            prec, formulation=form or "shrink"
+        )
 
     # bf16-storage split-precision policy (r3 study): half the HBM bytes
     # through the single-buffer potrf_inplace — its own `tiers` entry,
@@ -280,6 +295,15 @@ def main():
         else next(iter(results))
     )
     head = results[head_tier]
+    # same precision tier, fp32 storage, different formulation: promote the
+    # faster one to headline if its residual is in the same class (the r3
+    # study: inplace ≥ shrink at `high` — identical numerics, no
+    # trailing-square re-materialization traffic)
+    alt = results.get(f"{head_tier}_inplace")
+    if alt and alt["gflops"] > head["gflops"] and (
+        alt["residual"] <= 5 * head["residual"]
+    ):
+        head_tier, head = f"{head_tier}_inplace", alt
     out = {
         "metric": f"POTRF fp32({head_tier}) N={n} NB={nb} single-chip",
         "value": head["gflops"],
@@ -293,7 +317,7 @@ def main():
             for p, r in results.items()
         },
         "config": {"panel": panel, "trailing": trailing, "tb": tb, "kb": kb,
-                   "alias": alias, "diag_factor": diag},
+                   "alias": alias, "diag_factor": diag, "ib": ib},
     }
     print(json.dumps(out))
 

@@ -64,11 +64,11 @@ def _auto_tb(nb: int, dtype, budget_bytes: int = 10 * 2**20) -> int:
     return min(nb, 128)
 
 
-def _chol_tile(d: jax.Array, diag_factor: DiagFactor) -> jax.Array:
+def _chol_tile(d: jax.Array, diag_factor: DiagFactor, ib: int = 512) -> jax.Array:
     if diag_factor == "unblocked":
         return potrf_unblocked(d)
     if diag_factor == "twolevel":
-        return _chol_twolevel(d)
+        return _chol_twolevel(d, ib=ib)
     # symmetrize_input=False: tiles arrive lower-triangle-only (the upper
     # half is zeros by construction); the default symmetrization would
     # silently halve the off-diagonal entries.
@@ -255,7 +255,7 @@ def _blocktrsm_panel(lkk, b, *, ib: int = 512):
     jax.jit,
     static_argnames=(
         "nb", "update_cols", "diag_factor", "panel", "trailing", "tb", "kb",
-        "trailing_alias", "precision",
+        "trailing_alias", "precision", "ib",
     ),
 )
 def potrf_shrink(
@@ -270,6 +270,7 @@ def potrf_shrink(
     kb: int | None = None,
     trailing_alias: bool = False,
     precision: str | None = None,
+    ib: int = 512,
 ) -> jax.Array:
     """Right-looking Cholesky on a *shrinking* trailing matrix — the
     compile-friendliest formulation.
@@ -321,16 +322,16 @@ def potrf_shrink(
             elif panel == "invgemm" and m > w:
                 # TRSM-as-GEMM: one nb×nb triangular solve against I (cheap),
                 # then the tall panel solve is a plain MXU GEMM.
-                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor, ib=ib))
                 linv = trsm(1.0, lkk, jnp.eye(w, dtype=a.dtype), side="L", transa=False)
                 lp = gemm(1.0, t[w:, :w], linv, 0.0, jnp.zeros((m - w, w), a.dtype), transb=True, conjb=cj)
                 strip = jnp.concatenate([lkk, lp], axis=0)
             elif panel == "blocktrsm" and m > w:
-                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
-                lp = _blocktrsm_panel(lkk, t[w:, :w])
+                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor, ib=ib))
+                lp = _blocktrsm_panel(lkk, t[w:, :w], ib=ib)
                 strip = jnp.concatenate([lkk, lp], axis=0)
             else:
-                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor))
+                lkk = jnp.tril(_chol_tile(t[:w, :w], diag_factor, ib=ib))
                 if m > w:
                     lp = trsm(1.0, lkk, t[w:, :w], side="R", uplo="L", transa=True, conja=cj)
                     strip = jnp.concatenate([lkk, lp], axis=0)  # (m, w)
@@ -365,7 +366,7 @@ def potrf_shrink(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "tb", "kb", "diag_factor", "precision"),
+    static_argnames=("nb", "tb", "kb", "diag_factor", "precision", "ib"),
     donate_argnums=0,
 )
 def potrf_inplace(
@@ -376,6 +377,7 @@ def potrf_inplace(
     kb: int = 256,
     diag_factor: DiagFactor = "twolevel",
     precision: str | None = None,
+    ib: int = 512,
 ) -> jax.Array:
     """Single-buffer right-looking Cholesky: peak device memory ≈ one
     (n, n) buffer plus one column panel.
@@ -409,14 +411,14 @@ def potrf_inplace(
         for off in range(0, n, nb):
             w = nb
             d = out[off : off + w, off : off + w].astype(ctype)
-            lkk = jnp.tril(_chol_tile(d, diag_factor))
+            lkk = jnp.tril(_chol_tile(d, diag_factor, ib=ib))
             out = lax.dynamic_update_slice(
                 out, lkk.astype(out.dtype), (off, off)
             )
             if off + w >= n:
                 break
             pb = out[off + w :, off : off + w].astype(ctype)
-            lp = _blocktrsm_panel(lkk, pb).astype(out.dtype)
+            lp = _blocktrsm_panel(lkk, pb, ib=ib).astype(out.dtype)
             out = lax.dynamic_update_slice(out, lp, (off + w, off))
             out = trailing_update_lower(
                 out, lp, tb=tb, kb=min(kb, nb), alias=True,
