@@ -76,11 +76,15 @@ def main():
     # `precision:formulation` (shrink is the default formulation; the r3
     # study found single-buffer `inplace` beats shrink at the high tier —
     # no trailing-square re-materialization traffic)
-    # inplace first: it is the measured-fastest high-tier formulation (r3:
-    # 47.2 vs 43.9 TF/s chained, identical residual), so a compile-queue
-    # stall that eats the budget still leaves the best headline
+    # inplace first: it is the measured-fastest high-tier formulation (r3
+    # NB-frontier sweep, results_r3/inplace_nb_sweep.jsonl: 51.2 TF/s at
+    # NB=1024 vs shrink's 43.9-45.5 at its own NB=8192 frontier, identical
+    # residual), so a compile-queue stall that eats the budget still leaves
+    # the best headline. Per-tier NB: the frontier is formulation- and
+    # tier-dependent (shrink 8192; high-inplace 1024; default-inplace 4096).
     tiers = os.environ.get(
-        "BENCH_PRECISIONS", "high:inplace,high,default,highest"
+        "BENCH_PRECISIONS",
+        "high:inplace:1024,high,default:inplace:4096,highest",
     ).split(",")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
@@ -119,13 +123,16 @@ def main():
     chain_k = int(os.environ.get("BENCH_CHAIN", 4))
 
     def run_tier(prec: str, *, storage: str = "float32",
-                 formulation: str = "shrink"):
-        """One (precision tier, storage dtype, formulation) measurement.
+                 formulation: str = "shrink", nb: int = nb):
+        """One (precision tier, storage dtype, formulation, nb) measurement.
 
         The default storage/formulation is the library headline path
         (fp32 shrink); ``storage="bfloat16", formulation="inplace"`` is
         the split-precision policy from the r3 study (half the HBM
-        bytes through the single-buffer ``potrf_inplace``)."""
+        bytes through the single-buffer ``potrf_inplace``). ``nb``
+        defaults to the global BENCH_NB but a tier spec may override it —
+        the NB frontier is formulation-dependent (r3: shrink prefers
+        8192, inplace 4096)."""
         dt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
         tag = prec if dt == jnp.float32 else f"bf16/{prec}"
         if formulation != "shrink":
@@ -262,8 +269,11 @@ def main():
 
     results: dict[str, dict] = {}
     for i, spec in enumerate(tiers):
-        spec = spec.strip()
-        prec, _, form = spec.partition(":")
+        # spec grammar: `precision[:formulation[:nb]]`
+        parts = spec.strip().split(":")
+        prec = parts[0]
+        form = parts[1] if len(parts) > 1 else "shrink"
+        nb_t = int(parts[2]) if len(parts) > 2 else nb
         elapsed = time.perf_counter() - t_start
         if i > 0 and results:
             # each further tier costs roughly one compile + iters; skip if the
@@ -272,9 +282,9 @@ def main():
             if elapsed + est > budget_s:
                 log(f"[{spec}] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
                 continue
-        results[spec.replace(":", "_")] = run_tier(
-            prec, formulation=form or "shrink"
-        )
+        key = f"{prec}_{form}" if form != "shrink" else prec
+        results[key] = run_tier(prec, formulation=form, nb=nb_t)
+        results[key]["nb"] = nb_t
 
     # bf16-storage split-precision policy (r3 study): half the HBM bytes
     # through the single-buffer potrf_inplace — its own `tiers` entry,
@@ -285,8 +295,15 @@ def main():
         if elapsed + est > budget_s:
             log(f"[bf16/default] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
         else:
+            # NB frontier for the bf16 policy: ~flat 2048-4096 (104.1 /
+            # 105.0 TF/s chained), well above 8192 (93.1) — half the bytes
+            # moves the HBM-bound optimum down, same direction as f32
+            # default (results_r3/inplace_nb_sweep.jsonl)
+            bf16_nb = int(os.environ.get("BENCH_BF16_NB", 4096))
             results["bf16_default_inplace"] = run_tier(
-                "default", storage="bfloat16", formulation="inplace")
+                "default", storage="bfloat16", formulation="inplace",
+                nb=bf16_nb)
+            results["bf16_default_inplace"]["nb"] = bf16_nb
 
     from dla_tpu.utils.precision import DEFAULT as LIB_DEFAULT_PRECISION
 
@@ -305,7 +322,7 @@ def main():
     ):
         head_tier, head = f"{head_tier}_inplace", alt
     out = {
-        "metric": f"POTRF fp32({head_tier}) N={n} NB={nb} single-chip",
+        "metric": f"POTRF fp32({head_tier}) N={n} NB={head.get('nb', nb)} single-chip",
         "value": head["gflops"],
         "unit": "GFLOP/s",
         "vs_baseline": round(head["gflops"] / BASELINE_GFLOPS, 2),
@@ -313,7 +330,7 @@ def main():
         "gflops_raw": head.get("gflops_raw"),
         "tiers": {
             p: {"gflops": r["gflops"], "gflops_raw": r.get("gflops_raw"),
-                "residual": r["residual"]}
+                "residual": r["residual"], "nb": r.get("nb", nb)}
             for p, r in results.items()
         },
         "config": {"panel": panel, "trailing": trailing, "tb": tb, "kb": kb,

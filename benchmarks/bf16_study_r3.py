@@ -163,6 +163,23 @@ def main():
                 emit(label=label, error=repr(e)[:500])
                 log(f"[{label}] FAILED: {repr(e)[:500]}")
 
+    if "C" in PHASE:
+        # ROADMAP r4 #2: does the 3-pass `high` arithmetic keep its residual
+        # with bf16 storage? Hypothesis: no — the storage rounding
+        # (~sqrt(N)·eps_bf16) dominates the compute precision, so
+        # bf16/high should match bf16/default's residual class at (at best)
+        # the same speed; bf16x3 splitting only exists for f32 operands.
+        try:
+            run_policy(
+                "bf16_high_inplace", 32768,
+                lambda a: potrf_inplace(a, nb=8192, tb=1024, kb=256,
+                                        precision="high"),
+                "bfloat16",
+            )
+        except Exception as e:  # noqa: BLE001
+            emit(label="bf16_high_inplace", error=repr(e)[:500])
+            log(f"[bf16_high_inplace] FAILED: {repr(e)[:500]}")
+
     if "B" in PHASE:
         n = 65536
         label = "bf16_default_inplace_n65536"
