@@ -77,14 +77,15 @@ def main():
     # study found single-buffer `inplace` beats shrink at the high tier —
     # no trailing-square re-materialization traffic)
     # inplace first: it is the measured-fastest high-tier formulation (r3
-    # NB-frontier sweep, results_r3/inplace_nb_sweep.jsonl: 51.2 TF/s at
-    # NB=1024 vs shrink's 43.9-45.5 at its own NB=8192 frontier, identical
-    # residual), so a compile-queue stall that eats the budget still leaves
-    # the best headline. Per-tier NB: the frontier is formulation- and
-    # tier-dependent (shrink 8192; high-inplace 1024; default-inplace 4096).
+    # NB/kb-frontier sweep, results_r3/inplace_nb_sweep.jsonl: 54.6 TF/s at
+    # NB=1024 kb=1024 vs shrink's 43.9-45.5 at its own NB=8192 frontier,
+    # better residual), so a compile-queue stall that eats the budget still
+    # leaves the best headline. Per-tier NB/kb: the frontier is
+    # formulation- and tier-dependent (shrink 8192/256; high-inplace
+    # 1024/1024 i.e. full-K; default-inplace 4096/1024).
     tiers = os.environ.get(
         "BENCH_PRECISIONS",
-        "high:inplace:1024,high,default:inplace:4096,highest",
+        "high:inplace:1024:1024,high,default:inplace:4096:1024,highest",
     ).split(",")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
@@ -123,7 +124,8 @@ def main():
     chain_k = int(os.environ.get("BENCH_CHAIN", 4))
 
     def run_tier(prec: str, *, storage: str = "float32",
-                 formulation: str = "shrink", nb: int = nb):
+                 formulation: str = "shrink", nb: int = nb,
+                 kb: int = kb):
         """One (precision tier, storage dtype, formulation, nb) measurement.
 
         The default storage/formulation is the library headline path
@@ -269,11 +271,12 @@ def main():
 
     results: dict[str, dict] = {}
     for i, spec in enumerate(tiers):
-        # spec grammar: `precision[:formulation[:nb]]`
+        # spec grammar: `precision[:formulation[:nb[:kb]]]`
         parts = spec.strip().split(":")
         prec = parts[0]
         form = parts[1] if len(parts) > 1 else "shrink"
         nb_t = int(parts[2]) if len(parts) > 2 else nb
+        kb_t = int(parts[3]) if len(parts) > 3 else kb
         elapsed = time.perf_counter() - t_start
         if i > 0 and results:
             # each further tier costs roughly one compile + iters; skip if the
@@ -283,8 +286,10 @@ def main():
                 log(f"[{spec}] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
                 continue
         key = f"{prec}_{form}" if form != "shrink" else prec
-        results[key] = run_tier(prec, formulation=form, nb=nb_t)
+        results[key] = run_tier(prec, formulation=form, nb=nb_t, kb=kb_t)
         results[key]["nb"] = nb_t
+        if kb_t != kb:
+            results[key]["kb"] = kb_t
 
     # bf16-storage split-precision policy (r3 study): half the HBM bytes
     # through the single-buffer potrf_inplace — its own `tiers` entry,
@@ -295,14 +300,15 @@ def main():
         if elapsed + est > budget_s:
             log(f"[bf16/default] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
         else:
-            # NB frontier for the bf16 policy: ~flat 2048-4096 (104.1 /
-            # 105.0 TF/s chained), well above 8192 (93.1) — half the bytes
-            # moves the HBM-bound optimum down, same direction as f32
-            # default (results_r3/inplace_nb_sweep.jsonl)
+            # NB/kb frontier for the bf16 policy: NB 4096 ≈ 2048 ≫ 8192,
+            # and kb=1024 over 256 is +20% (104.5 → 125.9 TF/s chained) —
+            # half the bytes moves the HBM-bound optimum down, same
+            # direction as f32 default (results_r3/inplace_nb_sweep.jsonl)
             bf16_nb = int(os.environ.get("BENCH_BF16_NB", 4096))
+            bf16_kb = int(os.environ.get("BENCH_BF16_KB", 1024))
             results["bf16_default_inplace"] = run_tier(
                 "default", storage="bfloat16", formulation="inplace",
-                nb=bf16_nb)
+                nb=bf16_nb, kb=bf16_kb)
             results["bf16_default_inplace"]["nb"] = bf16_nb
 
     from dla_tpu.utils.precision import DEFAULT as LIB_DEFAULT_PRECISION

@@ -182,11 +182,19 @@ def main():
 
     if "B" in PHASE:
         n = 65536
+        # the late-r3 NB-frontier sweep moved the bf16 policy's optimum to
+        # NB≈4096 at N=32768; STUDY_NB re-runs phase B at the frontier NB
+        nb_b = int(os.environ.get("STUDY_NB", 8192))
+        kb_b = int(os.environ.get("STUDY_KB", 256))
         label = "bf16_default_inplace_n65536"
+        if nb_b != 8192:
+            label += f"_nb{nb_b}"
+        if kb_b != 256:
+            label += f"_kb{kb_b}"
         try:
             l = run_policy(
                 label, n,
-                lambda a: potrf_inplace(a, nb=8192, tb=1024, kb=256,
+                lambda a: potrf_inplace(a, nb=nb_b, tb=1024, kb=kb_b,
                                         precision="default"),
                 "bfloat16", iters=2,
             )
