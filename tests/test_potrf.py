@@ -375,6 +375,22 @@ class TestPotrfInplace:
         assert float(residual_potrf(a, l, assume_symmetric=True)) < PASS_THRESHOLD
         assert np.abs(np.triu(np.asarray(l), 1)).max() == 0
 
+    @pytest.mark.parametrize("ib,kb", [(32, 64), (64, 32), (128, 128)])
+    def test_frontier_knobs(self, ib, kb):
+        """The late-r3 frontier knobs: blocked-TRSM inner size ``ib`` and
+        trailing k-split ``kb`` (kb == nb is the full-K configuration the
+        shipping headline uses — bench.py `high:inplace:1024:1024`). All
+        combinations must be bit-for-bit the same factorization to fp64
+        tolerance."""
+        from dla_tpu.algos import potrf_inplace
+
+        n, nb, tb = 256, 128, 64
+        a = plgsy(n, seed=n + ib + kb, dtype=jnp.float64)
+        out = potrf_inplace(a.copy(), nb=nb, tb=tb, kb=kb, ib=ib)
+        ref = scipy.linalg.cholesky(np.asarray(a), lower=True)
+        np.testing.assert_allclose(np.tril(np.asarray(out)), ref,
+                                   rtol=1e-9, atol=1e-9)
+
     def test_bf16_storage_residual_class(self):
         """bf16 storage with fp32 accumulation: the storage-precision
         study's policy point. Residual lands in the bf16 class
