@@ -75,15 +75,19 @@ CHIPS = {
     ),
 }
 
-# Measured single-chip end-to-end POTRF rates at the `high` tier
-# (results_r2/sweep.csv campaign medians, GF/s) — the single-chip side of
+# Measured single-chip end-to-end POTRF rates at the `high` tier, raw
+# per-invocation convention (best config per N) — the single-chip side of
 # the crossover. Interpolated linearly in N; saturates at the last entry.
+# r3 refresh: the inplace NB/kb-frontier campaign medians
+# (results_r3/sweep.csv inplace rows; 32768 from the nb=1024/kb=1024
+# bench median, results_r3/inplace_nb_sweep.jsonl) replaced the r2
+# shrink medians — the distributed comparison is against the *best*
+# single-chip formulation, not last round's.
 SINGLE_CHIP_HIGH_GFLOPS = {
-    4096: 700.0,   # small-N regime (panel-solve dominated)
-    8192: 4300.0,
-    16384: 17800.0,
-    28672: 32700.0,
-    32768: 36700.0,
+    4096: 700.0,   # small-N regime (panel-solve dominated; r2 value)
+    8192: 4429.0,
+    16384: 22176.0,
+    32768: 48013.0,
 }
 
 

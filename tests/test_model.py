@@ -129,12 +129,13 @@ class TestSuperAccounting:
 
 class TestProjections:
     def test_single_chip_rate_interp(self):
-        assert single_chip_rate(32768) == pytest.approx(36700.0)
+        # r3 frontier curve (inplace campaign medians, raw convention)
+        assert single_chip_rate(32768) == pytest.approx(48013.0)
         assert single_chip_rate(24576) == pytest.approx(
-            17800 + (32700 - 17800) * (24576 - 16384) / (28672 - 16384)
+            22176 + (48013 - 22176) * (24576 - 16384) / (32768 - 16384)
         )
         # saturates beyond the measured range
-        assert single_chip_rate(131072) == pytest.approx(36700.0)
+        assert single_chip_rate(131072) == pytest.approx(48013.0)
 
     def test_projection_fields_sane(self):
         layout = BlockCyclicLayout(n=32768, nb=1024, p=2, q=4)
