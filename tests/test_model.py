@@ -167,3 +167,34 @@ class TestProjections:
     def test_v5p_spec_present(self):
         assert set(CHIPS) >= {"v5e", "v5p"}
         assert CHIPS["v5p"].ici_gbps > CHIPS["v5e"].ici_gbps
+
+
+class TestProjectionsArtifact:
+    def test_committed_artifact_matches_model(self):
+        """benchmarks/results_r3/projections.json must equal what the
+        model produces today (regenerate with benchmarks/projections_r3.py)
+        — the published crossover table can't silently drift from the
+        code that claims to justify it."""
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "results_r3", "projections.json",
+        )
+        with open(path) as f:
+            rows = json.load(f)
+        assert len(rows) == 6  # {v5e,v5p} x {2x2,2x4,4x4}
+        for row in rows:
+            p, q = (int(s) for s in row["mesh"].split("x"))
+            r = crossover_n(p, q, chip=row["chip"])
+            assert r["crossover_n"] == row["crossover_n"], row["mesh"]
+            assert r["n_eff50"] == row["n_eff50"]
+            assert r["n_eff70"] == row["n_eff70"]
+            by_n = {c["n"]: c for c in r["curve"]}
+            assert by_n[131072]["speedup"] == pytest.approx(
+                row["speedup_at_131072"], abs=5e-4
+            )
+            assert by_n[131072]["comm_fraction"] == pytest.approx(
+                row["comm_fraction_at_131072"], abs=5e-4
+            )
