@@ -54,5 +54,40 @@ def main():
     print(f"wrote {OUT}")
 
 
+
+
+def oocore():
+    """Config-5 (N=262144) out-of-core projection artifact."""
+    from dla_tpu.parallel.model import (
+        project_oocore_host,
+        project_oocore_mesh,
+    )
+
+    out = os.path.join(REPO, "benchmarks", "results_r3",
+                       "oocore_projection.json")
+    host = project_oocore_host(163840, 4096)
+    rows = {
+        "host_validation_n163840": {
+            "modeled_s": round(host["t_total_s"], 1),
+            "measured_s": 21129.0,
+            "modeled_gflops": round(host["gflops"], 1),
+            "measured_gflops": 69.4,
+        },
+        "config5_n262144": [],
+    }
+    for p, q in ((1, 1), (2, 2), (2, 4), (4, 4)):
+        for bw in (32.0, 100.0):
+            m = project_oocore_mesh(262144, 4096, p, q, host_bw_gbps=bw)
+            rows["config5_n262144"].append({
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in m.items()
+            })
+            print(rows["config5_n262144"][-1])
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     main()
+    oocore()

@@ -223,3 +223,147 @@ def crossover_n(
         "at_crossover": first,
         "curve": rows,
     }
+
+
+# ---------------------------------------------------------------------------
+# Out-of-core projection (BASELINE config 5: N ≫ device/host RAM)
+# ---------------------------------------------------------------------------
+#
+# The reference's whole distributed design exists to serve N ≫ worker RAM
+# (client holds the matrix, workers hold O(B²) —
+# cholesky_armonik/.../client_distrib.cpp:280-309). The rebuild's analogue
+# is `algos/oocore.py`: a left-looking panel stream over a disk/host store.
+# This model projects that pipeline (a) on this VM's measured single-host
+# rates — validated against the completed N=163840 run — and (b) onto a
+# TPU mesh with PCIe-class staging, answering what config-5 (N=262144)
+# costs and which side (staging bandwidth vs compute) binds.
+#
+# Volume geometry of the left-looking algorithm with panel width B
+# (exact sums over panels, not the continuum approximations):
+#   stream-in  = Σ_j (N − jB)·(jB)        elements  (≈ N³/6B)
+#   compute    = N³/3 + O(N²B)            flops
+#   writeback  = Σ_j (N − jB)·B           elements  (≈ N²/2)
+
+@dataclasses.dataclass(frozen=True)
+class OocoreHostCalib:
+    """Measured single-host rates (this VM, N=163840 run,
+    benchmarks/results_r3/oocore_n163840.log).
+
+    gemm_gflops: resident in-place OpenBLAS sgemm rate (microbenchmark,
+      docs/STATUS_r3.md) — the pure-compute term.
+    overhead: fitted end-to-end factor over the pure-GEMM time covering
+      panel factor/solve flops, the balloon-throttled page supply, and
+      prefetch contention on the single core (measured compute-phase time
+      ÷ modeled GEMM time at N=163840).
+    pack_gibps / writeback_gibps: measured staging pack and O_DIRECT
+      writeback rates (the run's own `[oocore] staging:` line).
+    """
+
+    gemm_gflops: float = 120.0
+    overhead: float = 1.41
+    pack_gibps: float = 0.22
+    writeback_gibps: float = 0.14
+
+
+def oocore_volumes(n: int, panel: int, itemsize: int = 4) -> dict:
+    """Exact stream/compute/writeback volumes of the left-looking loop.
+
+    stream = the k-panel updates (h·jB per panel) **plus the panel's own
+    one-time read** (h·B) — together these reproduce the run log's
+    staged-in volume exactly (717.50 GiB at N=163840/panel=4096)."""
+    nt = -(-n // panel)
+    stream_elems = sum(
+        (n - j * panel) * (j * panel + panel) for j in range(nt)
+    )
+    wb_elems = sum((n - j * panel) * panel for j in range(nt))
+    return {
+        "n": n, "panel": panel, "npanels": nt,
+        "stream_bytes": stream_elems * itemsize,
+        "writeback_bytes": wb_elems * itemsize,
+        "flops": n**3 / 3,
+    }
+
+
+def project_oocore_host(
+    n: int,
+    panel: int = 4096,
+    *,
+    calib: OocoreHostCalib = OocoreHostCalib(),
+    itemsize: int = 4,
+) -> dict:
+    """Projected end-to-end seconds for the single-host CPU-backend
+    out-of-core factorization on this VM (validated: within a few % of
+    the measured N=163840 total — tests/test_model.py)."""
+    v = oocore_volumes(n, panel, itemsize)
+    gib = 2.0**30
+    t_compute = v["flops"] / (calib.gemm_gflops * 1e9) * calib.overhead
+    t_pack = v["stream_bytes"] / gib / calib.pack_gibps
+    t_wb = v["writeback_bytes"] / gib / calib.writeback_gibps
+    total = t_compute + t_pack + t_wb
+    return {
+        **v,
+        "t_compute_s": t_compute, "t_pack_s": t_pack, "t_writeback_s": t_wb,
+        "t_total_s": total,
+        "gflops": v["flops"] / total / 1e9,
+    }
+
+
+def project_oocore_mesh(
+    n: int,
+    panel: int = 8192,
+    p: int = 2,
+    q: int = 4,
+    *,
+    chip: str = "v5e",
+    tier: str = "high",
+    host_bw_gbps: float = 32.0,
+    compute_eff: float = 0.85,
+    itemsize: int = 4,
+) -> dict:
+    """Project config-5-scale out-of-core POTRF on a p×q TPU mesh with
+    host staging at ``host_bw_gbps`` (PCIe-class; NOT this VM's 46 MB/s
+    tunnel — that number makes the TPU path infeasible, docs/ROADMAP.md).
+
+    Per panel j the stream (in + writeback) overlaps the update GEMMs
+    (double-buffered prefetch, `algos/oocore.py`); the panel factor+solve
+    is serial. compute_eff is the measured trailing-kernel utilization
+    fraction (xprof, STATUS_r3: ~89% — default slightly conservative).
+
+    Returns the end-to-end projection plus which side binds and the
+    minimum staging bandwidth for compute-bound operation.
+    """
+    spec = CHIPS[chip]
+    rate = spec.tflops[tier] * 1e12 * compute_eff * p * q
+    bw = host_bw_gbps * 1e9
+    t_total = t_stream = t_compute = t_serial = 0.0
+    nt = -(-n // panel)
+    for j in range(nt):
+        h = n - j * panel
+        io_bytes = (h * (j * panel) + h * panel) * itemsize  # in + wb
+        t_io = io_bytes / bw
+        t_upd = 2.0 * h * panel * (j * panel) / rate
+        # panel factor+solve: B³/3 on one column + h·B² solve flops
+        t_fac = (panel**3 / 3 + h * panel**2) / rate
+        t_total += max(t_io, t_upd) + t_fac
+        t_stream += t_io
+        t_compute += t_upd
+        t_serial += t_fac
+    flops = n**3 / 3
+    # staging bandwidth at which Σ io time == Σ update time:
+    # bw' = io_bytes / t_compute = (t_stream · bw) / t_compute
+    min_bw_gbps = (
+        bw * t_stream / t_compute / 1e9 if t_compute else float("inf")
+    )
+    hbm = spec.hbm_gib * 2**30
+    panel_max = int(hbm / (2.5 * n * itemsize))  # ~2 panels + slack resident
+    return {
+        "n": n, "panel": panel, "mesh": f"{p}x{q}", "chip": chip,
+        "tier": tier, "host_bw_gbps": host_bw_gbps,
+        "t_total_s": t_total,
+        "gflops": flops / t_total / 1e9,
+        "stream_fraction": t_stream / (t_stream + t_compute + t_serial),
+        "bound": "stream" if t_stream > t_compute else "compute",
+        "min_bw_gbps_compute_bound": min_bw_gbps,
+        "panel_max_by_hbm": panel_max,
+        "panel_fits_hbm": panel <= panel_max,
+    }

@@ -198,3 +198,46 @@ class TestProjectionsArtifact:
             assert by_n[131072]["comm_fraction"] == pytest.approx(
                 row["comm_fraction_at_131072"], abs=5e-4
             )
+
+
+class TestOocoreProjection:
+    def test_host_model_matches_measured_n163840(self):
+        """The calibrated single-host model must reproduce the measured
+        N=163840 end-to-end time (21,129 s, 69.4 GF/s —
+        results_r3/oocore_n163840.log) within 5%. gemm rate and staging
+        rates are independent measurements; only `overhead` is fitted."""
+        from dla_tpu.parallel.model import project_oocore_host
+
+        r = project_oocore_host(163840, 4096)
+        assert abs(r["t_total_s"] - 21129) / 21129 < 0.05, r["t_total_s"]
+        assert abs(r["gflops"] - 69.4) / 69.4 < 0.06
+
+    def test_volumes_match_run_log(self):
+        """Exact stream volume must match the run's own staging line
+        (717.50 GiB in at N=163840 panel=4096)."""
+        from dla_tpu.parallel.model import oocore_volumes
+
+        v = oocore_volumes(163840, 4096)
+        assert abs(v["stream_bytes"] / 2**30 - 717.50) < 1.0
+        # writeback ≈ lower-triangle store (51.25 GiB out)
+        assert abs(v["writeback_bytes"] / 2**30 - 51.25) < 1.5
+
+    def test_mesh_projection_stream_bound_at_pcie(self):
+        """Config-5 (N=262144) on any mesh at PCIe-class 32 GB/s staging
+        is stream-bound; min compute-bound bandwidth grows with mesh size."""
+        from dla_tpu.parallel.model import project_oocore_mesh
+
+        prev = 0.0
+        for p, q in ((2, 2), (2, 4), (4, 4)):
+            m = project_oocore_mesh(262144, 4096, p, q, host_bw_gbps=32.0)
+            assert m["bound"] == "stream", m
+            assert m["min_bw_gbps_compute_bound"] > prev
+            prev = m["min_bw_gbps_compute_bound"]
+            assert m["panel_fits_hbm"]
+
+    def test_larger_panel_cuts_stream(self):
+        from dla_tpu.parallel.model import oocore_volumes
+
+        a = oocore_volumes(131072, 2048)["stream_bytes"]
+        b = oocore_volumes(131072, 4096)["stream_bytes"]
+        assert b < a
