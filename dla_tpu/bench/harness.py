@@ -57,6 +57,7 @@ CSV_COLUMNS = [
     "dtype",
     "mode",
     "precision",
+    "kb",  # trailing-update k-split (late-r3 frontier axis; "" = default)
 ]
 
 _PERF_RE = re.compile(r"Performance:\s*([0-9.eE+-]+)\s*Gflop/s")
@@ -96,6 +97,7 @@ class SweepConfig:
     max_retries: int = 3  # per-run retry budget (ArmoniK TaskOptions parity,
     # client_distrib.cpp:335-337); a crashed/timed-out child is re-executed
     precision: str | None = None  # matmul tier (None = library default)
+    kb: int | None = None  # trailing k-split (shrink/inplace; None = default)
     diag: str = "lax"  # diagonal-block factor backend
     inproc_repeats: bool = True  # one fork per CONFIG with --repeats timed
     # runs inside (a fork per repeat — the reference's layout — would pay
@@ -134,7 +136,7 @@ def parse_repeats(stdout: str) -> list[tuple[int, float, float]]:
 
 
 def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="xla",
-                precision=None, diag="lax", repeats=1) -> list[str]:
+                precision=None, diag="lax", repeats=1, kb=None) -> list[str]:
     cmd = [
         sys.executable,
         "-m",
@@ -156,6 +158,8 @@ def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="
         cmd += ["--diag", diag]
         if precision:
             cmd += ["--precision", precision]
+    if kb and mode in ("shrink", "inplace"):
+        cmd += ["--kb", str(kb)]
     if mode == "distributed":
         cmd += ["--p", str(mesh[0]), "--q", str(mesh[1])]
     if platform:
@@ -181,9 +185,12 @@ def run_sweep(
     """
     os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
     done: set[tuple] = set()
+    header: list[str] | None = None
     if os.path.exists(csv_path):
         with open(csv_path) as f:
-            for row in csv.DictReader(f):
+            reader = csv.DictReader(f)
+            header = reader.fieldnames and list(reader.fieldnames)
+            for row in reader:
                 done.add(
                     (
                         int(row["N"]),
@@ -192,13 +199,18 @@ def run_sweep(
                         row.get("mode", ""),
                         row.get("mesh", ""),
                         row.get("precision", _LIB_DEFAULT) or _LIB_DEFAULT,
+                        row.get("kb", "") or "",
                         int(row["run_idx"]),
                     )
                 )
     new_file = not os.path.exists(csv_path) or os.path.getsize(csv_path) == 0
     rows: list[dict] = []
     with open(csv_path, "a", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+        # appending to a pre-kb-column CSV keeps that file's schema (the
+        # kb field is dropped); fresh files get the full current schema
+        writer = csv.DictWriter(
+            f, fieldnames=header or CSV_COLUMNS, extrasaction="ignore"
+        )
         if new_file:
             writer.writeheader()
             f.flush()
@@ -214,9 +226,11 @@ def run_sweep(
                             ):
                                 continue
                             prec_key = cfg.precision or _LIB_DEFAULT
+                            kb_key = str(cfg.kb) if cfg.kb else ""
                             if cfg.inproc_repeats and cfg.repeats > 1:
                                 key = (n, nb, dtype, mode,
-                                       f"{mesh[0]}x{mesh[1]}", prec_key, 0)
+                                       f"{mesh[0]}x{mesh[1]}", prec_key,
+                                       kb_key, 0)
                                 if key in done:
                                     continue
                                 new = _run_config_inproc(
@@ -226,7 +240,8 @@ def run_sweep(
                                 new = []
                                 for rep in range(cfg.repeats):
                                     key = (n, nb, dtype, mode,
-                                           f"{mesh[0]}x{mesh[1]}", prec_key, rep)
+                                           f"{mesh[0]}x{mesh[1]}", prec_key,
+                                           kb_key, rep)
                                     if key in done:
                                         continue
                                     new.append(_run_one(
@@ -273,6 +288,7 @@ def _base_row(cfg, n, nb, dtype, mode, mesh, rep) -> dict:
         "dtype": dtype,
         "mode": mode,
         "precision": cfg.precision or _LIB_DEFAULT,
+        "kb": cfg.kb if cfg.kb else "",
     }
 
 
@@ -281,7 +297,7 @@ def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
     (run_idx 0 = the compile/calibration repeat, like the reference)."""
     cmd = _driver_cmd(
         n, nb, dtype, mode, mesh, cfg.gen, cfg.platform, cfg.panel,
-        cfg.trailing, cfg.precision, cfg.diag, cfg.repeats - 1,
+        cfg.trailing, cfg.precision, cfg.diag, cfg.repeats - 1, kb=cfg.kb,
     )
     run_env = dict(os.environ)
     if cfg.platform == "cpu":
@@ -326,7 +342,7 @@ def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
 def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
     cmd = _driver_cmd(
         n, nb, dtype, mode, mesh, cfg.gen, cfg.platform, cfg.panel,
-        cfg.trailing, cfg.precision, cfg.diag,
+        cfg.trailing, cfg.precision, cfg.diag, kb=cfg.kb,
     )
     run_env = dict(os.environ)
     if cfg.platform == "cpu":
@@ -386,6 +402,7 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
         "dtype": dtype,
         "mode": mode,
         "precision": cfg.precision or _LIB_DEFAULT,
+        "kb": cfg.kb if cfg.kb else "",
     }
 
 

@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="matmul precision tier for this run (default: library policy)",
     )
     ap.add_argument(
+        "--kb", type=int, default=None,
+        help="trailing-update k-split (Pallas kernel inner-K block; "
+        "kb == NB streams the whole panel per C tile — the measured "
+        "NB=1024 frontier setting, docs/STATUS_r3.md). Default: the "
+        "formulation's own default (256)",
+    )
+    ap.add_argument(
         "--checked", action="store_true",
         help="run the checkified factorization: non-SPD input raises a "
         "functional error with a message instead of silent NaNs (the "
@@ -299,12 +306,16 @@ def main(argv=None) -> int:
                   "diag_factor": args.diag}
             if args.precision:
                 kw["precision"] = args.precision
+            if args.kb and cfg.mode == "shrink":  # blocked has no k-split
+                kw["kb"] = args.kb
         elif cfg.mode == "inplace":
             # single-buffer formulation (bf16-storage capable); takes
             # diag/precision but no panel/trailing backends
             kw = {"diag_factor": args.diag}
             if args.precision:
                 kw["precision"] = args.precision
+            if args.kb:
+                kw["kb"] = args.kb
             # seeded-plgsy inputs can be regenerated at will, so each repeat
             # donates its input into potrf_inplace and the next repeat
             # regenerates fresh (un-timed — generation is not part of the

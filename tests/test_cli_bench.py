@@ -266,6 +266,42 @@ class TestDriverEndToEnd:
         rows3 = run_sweep(cfg, csv_path, echo=False)
         assert rows3 == []
 
+    def test_sweep_kb_axis(self, tmp_path):
+        """The late-r3 kb frontier axis: --kb flows harness → driver →
+        potrf kernels; fresh CSVs carry the kb column; configs differing
+        only in kb are distinct resume keys; appending to a pre-kb CSV
+        keeps that file's schema."""
+        csv_path = str(tmp_path / "bench_kb.csv")
+        base = dict(ns=(128,), nbs=(64,), dtypes=("float64",),
+                    modes=("inplace",), repeats=2, platform="cpu",
+                    timeout_s=590)
+        rows = run_sweep(SweepConfig(kb=64, **base), csv_path, echo=False)
+        assert len(rows) == 2 and all(r["exit_code"] == 0 for r in rows)
+        assert all(r["kb"] == 64 for r in rows)
+        # a different kb is a different config, not a resume hit
+        rows2 = run_sweep(SweepConfig(kb=32, **base), csv_path, echo=False)
+        assert len(rows2) == 2
+        # same kb again resumes to nothing
+        assert run_sweep(SweepConfig(kb=64, **base), csv_path, echo=False) == []
+        with open(csv_path) as f:
+            r = csv.DictReader(f)
+            assert "kb" in r.fieldnames
+            assert sorted({row["kb"] for row in r}) == ["32", "64"]
+        # appending to an old-schema file must not corrupt it
+        old_csv = str(tmp_path / "old.csv")
+        with open(old_csv, "w") as f:
+            f.write("timestamp,scheduler,mapping,ncpu,ngpu,N,NB,run_idx,ms,"
+                    "exit_code,gflops,rel_error,device,mesh,dtype,mode,"
+                    "precision\n")
+        run_sweep(SweepConfig(kb=64, **base), old_csv, echo=False)
+        with open(old_csv) as f:
+            rr = csv.DictReader(f)
+            assert "kb" not in rr.fieldnames
+            rows4 = list(rr)
+        assert len(rows4) == 2
+        # no stray extra column: every row parses to exactly the old header
+        assert all(len(row) == 17 and None not in row for row in rows4)
+
 
 class TestPlots:
     def test_plot_functions_produce_pngs(self, tmp_path):
