@@ -29,8 +29,14 @@ PEAK_BY_PRECISION = {
 }
 
 
-def load_bench_csv(path: str) -> pd.DataFrame:
-    df = pd.read_csv(path)
+def load_bench_csv(path) -> pd.DataFrame:
+    """Load one CSV, a comma-separated list, or a sequence of paths
+    (campaigns may span schema revisions — e.g. the late-r3 ``kb`` column
+    — so frames are concatenated with missing columns left as NaN)."""
+    paths = (
+        path.split(",") if isinstance(path, str) else list(path)
+    )
+    df = pd.concat([pd.read_csv(p) for p in paths], ignore_index=True)
     df = df[df["exit_code"] == 0]
     df = df[df["gflops"].notna()]
     return df
@@ -41,10 +47,14 @@ def median_over_repeats(df: pd.DataFrame) -> pd.DataFrame:
     compile/calibration repeat)."""
     timed = df[df["run_idx"] > 0]
     group_cols = [
-        c for c in ("mode", "mesh", "dtype", "precision", "N", "NB") if c in timed
+        c
+        for c in ("mode", "mesh", "dtype", "precision", "kb", "N", "NB")
+        if c in timed
     ]
     return (
-        timed.groupby(group_cols, as_index=False)
+        # dropna=False: merged frames have NaN kb on pre-kb-column rows —
+        # those rows must still aggregate, not silently vanish
+        timed.groupby(group_cols, as_index=False, dropna=False)
         .agg(gflops=("gflops", "median"), rel_error=("rel_error", "median"))
     )
 
@@ -144,7 +154,8 @@ def main(argv=None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser(prog="dla-bench-plots")
-    ap.add_argument("csv")
+    ap.add_argument("csv", nargs="+",
+                    help="one or more bench CSVs (merged for plotting)")
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--peak", type=float, default=DEFAULT_PEAK_GFLOPS)
     args = ap.parse_args(argv)
