@@ -53,6 +53,9 @@ HEIGHTS = tuple(
     int(h) for h in os.environ.get(
         "PB_HEIGHTS", "30720,22528,14336,6144").split(",")
 )
+# also time the shipping aliased/origin-windowed trailing variant (full
+# (N, N) buffer, donated) at each height — the potrf_inplace call path
+ALIAS_FULL = os.environ.get("PB_ALIAS_FULL", "1") == "1"
 
 
 def log(*a):
@@ -89,7 +92,7 @@ def timed_chain(label, fn, x0, *, flops, iters=ITERS):
         x = fn(x0)
         _ = float(jnp.asarray(x).ravel()[0])
         compile_s = time.perf_counter() - t_all0
-        x = x0
+        # keep chaining from the warm-up result (x0 may have been donated)
         t0 = time.perf_counter()
         for _i in range(iters):
             x = fn(x)
@@ -139,7 +142,7 @@ def main():
     # --- panel solve + trailing at sampled heights ---
     lkk = jax.jit(lambda: jnp.tril(mat(NB, NB, scale=1e-3, diag=2.0)))()
     _ = float(lkk[0, 0])
-    t_solve, t_trail = {}, {}
+    t_solve, t_trail, t_alias = {}, {}, {}
     for h in HEIGHTS:
         b = jax.jit(lambda h=h: mat(h, NB, scale=1e-2))()
         _ = float(b[0, 0])
@@ -156,6 +159,34 @@ def main():
             vmem_limit_bytes=100 * 2**20))
         t_trail[h] = timed_chain(
             f"trailing_h{h}", fn, c, flops=2.0 * npairs * TB * TB * NB)
+        del c
+        # the SHIPPING variant: aliased in-place window update on the full
+        # (N, N) buffer (potrf_inplace's call, potrf.py:423-426). alias=True
+        # serializes writeback against the next block's prefetch (the
+        # trailing_update_lower docstring's ~20% note was measured at r2
+        # shapes); time it directly at the frontier shapes so the
+        # integrated attribution reflects the real path.
+        if ALIAS_FULL:
+            origin = (N - h) // TB
+            cf = jax.jit(lambda: mat(N, N))()
+            _ = float(cf[0, 0])
+            fa = jax.jit(lambda x, p=p, o=origin: trailing_update_lower(
+                x, p, tb=TB, kb=min(KB, NB), alias=True, origin=o,
+                vmem_limit_bytes=100 * 2**20), donate_argnums=0)
+            t_alias[h] = timed_chain(
+                f"trailing_alias_h{h}", fa, cf,
+                flops=2.0 * npairs * TB * TB * NB)
+            if h == HEIGHTS[0]:
+                cf = jax.jit(lambda: mat(N, N))()
+                _ = float(cf[0, 0])
+                fs = jax.jit(lambda x, p=p, o=origin: trailing_update_lower(
+                    x, p, tb=TB, kb=min(KB, NB), alias=True, origin=o,
+                    vmem_limit_bytes=100 * 2**20,
+                    dimension_semantics=("arbitrary", "arbitrary")),
+                    donate_argnums=0)
+                timed_chain(f"trailing_alias_sem_h{h}", fs, cf,
+                            flops=2.0 * npairs * TB * TB * NB)
+            del cf
 
     # --- integrate over the N/NB steps (linear interp in h) ---
     def interp(table, h):
@@ -171,22 +202,26 @@ def main():
                 return v0 + (v1 - v0) * (h - h0) / (h1 - h0)
 
     nsteps = N // NB
-    tot = {"diag": t_diag * nsteps, "solve": 0.0, "trail": 0.0}
-    for k in range(nsteps):
-        h = N - (k + 1) * NB
-        if h <= 0:
-            continue
-        ts = interp(t_solve, h)
-        tt = interp(t_trail, h)
-        tot["solve"] += ts or 0.0
-        tot["trail"] += tt or 0.0
-    total = sum(tot.values())
     flops = N**3 / 3
-    emit(label="integrated", seconds={k: round(v, 3) for k, v in tot.items()},
-         total_s=round(total, 3),
-         shares={k: round(v / total, 3) for k, v in tot.items()},
-         implied_gflops=round(flops / total / 1e9, 1))
-    log(f"integrated: {tot} → {flops / total / 1e12:.1f} TF/s implied")
+    trail_tables = [("trail_noalias", t_trail)]
+    if any(v is not None for v in t_alias.values()):
+        trail_tables.append(("trail_alias", t_alias))
+    for tname, ttable in trail_tables:
+        tot = {"diag": t_diag * nsteps, "solve": 0.0, tname: 0.0}
+        for k in range(nsteps):
+            h = N - (k + 1) * NB
+            if h <= 0:
+                continue
+            tot["solve"] += interp(t_solve, h) or 0.0
+            tot[tname] += interp(ttable, h) or 0.0
+        total = sum(tot.values())
+        emit(label=f"integrated_{tname}",
+             seconds={k: round(v, 3) for k, v in tot.items()},
+             total_s=round(total, 3),
+             shares={k: round(v / total, 3) for k, v in tot.items()},
+             implied_gflops=round(flops / total / 1e9, 1))
+        log(f"integrated[{tname}]: {tot} → {flops / total / 1e12:.1f} TF/s "
+            f"implied")
 
 
 if __name__ == "__main__":
