@@ -87,6 +87,8 @@ def mat(m, w, scale=1e-3, diag=None):
 
 
 def timed_chain(label, fn, x0, *, flops, iters=ITERS):
+    if flops / 40e12 * iters < 4 * 0.03:  # cheap phase: don't let 4 calls
+        iters = max(iters, 32)            # disappear under one tunnel RTT
     t_all0 = time.perf_counter()
     try:
         x = fn(x0)
@@ -123,17 +125,21 @@ def main():
         lambda d: 0.5 * (d + d.T) + 8.0 * jnp.eye(NB, dtype=jnp.float32)
     )(d0)
     _ = float(d0[0, 0])
+    # scale the carry INSIDE the jit: an eager `s * 1e-6` between calls is
+    # an op-by-op dispatch through the axon tunnel (~1 RTT each) that
+    # inflated this phase 30x in the first probe run
     fdiag = jax.jit(lambda s: _chol_twolevel(
-        d0 + s * jnp.eye(NB, dtype=jnp.float32))[NB - 1, NB - 1])
+        d0 + (s * 1e-6) * jnp.eye(NB, dtype=jnp.float32))[NB - 1, NB - 1])
     t0 = time.perf_counter()
     s = jnp.float32(0.0)
     _ = float(fdiag(s))
     compile_s = time.perf_counter() - t0
+    diag_iters = max(ITERS, 16)
     t0 = time.perf_counter()
-    for _i in range(ITERS):
-        s = fdiag(s * 1e-6)
+    for _i in range(diag_iters):
+        s = fdiag(s)
     _ = float(s)
-    t_diag = (time.perf_counter() - t0 - RTT) / ITERS
+    t_diag = (time.perf_counter() - t0 - RTT) / diag_iters
     emit(label="diag", per_call_s=round(t_diag, 6),
          gflops=round((NB**3 / 3) / t_diag / 1e9, 1),
          compile_s=round(compile_s, 1))

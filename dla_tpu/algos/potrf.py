@@ -366,7 +366,9 @@ def potrf_shrink(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "tb", "kb", "diag_factor", "precision", "ib"),
+    static_argnames=(
+        "nb", "tb", "kb", "diag_factor", "precision", "ib", "panel", "panel_ib",
+    ),
     donate_argnums=0,
 )
 def potrf_inplace(
@@ -378,6 +380,8 @@ def potrf_inplace(
     diag_factor: DiagFactor = "twolevel",
     precision: str | None = None,
     ib: int = 512,
+    panel: Literal["auto", "blocktrsm", "pallas"] = "auto",
+    panel_ib: int = 256,
 ) -> jax.Array:
     """Single-buffer right-looking Cholesky: peak device memory ≈ one
     (n, n) buffer plus one column panel.
@@ -402,7 +406,28 @@ def potrf_inplace(
     n = a.shape[-1]
     if n % nb or nb % tb:
         raise ValueError(f"need n % nb == 0 and nb % tb == 0, got {n}/{nb}/{tb}")
-    from dla_tpu.kernels.pallas_tiles import trailing_update_lower
+    from dla_tpu.kernels.pallas_tiles import panel_apply, trailing_update_lower
+
+    # "auto" = the XLA blocktrsm. The fused Pallas alternative
+    # (kernels.panel_apply, panel="pallas") measured FASTER in isolation
+    # (54 vs 30-36 TF/s logical at the headline panel shapes,
+    # results_r3/panel_apply.jsonl) but ~1% SLOWER end-to-end in an
+    # interleaved A/B at the headline config (results_r3/panel_ab.jsonl:
+    # 54.9 vs 54.4 TF/s medians) — XLA overlaps/fuses the small panel dots
+    # with the surrounding steps better than a separate kernel launch can.
+    # Same lesson as ROADMAP r1's two-level in-kernel factor: kernel-local
+    # wins lose end-to-end here; measure through bench.py.
+    panel_ib = min(panel_ib, nb)
+    if panel == "auto":
+        panel = "blocktrsm"
+    if panel == "pallas":
+        ctype0 = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
+        if not (ctype0 == jnp.float32 and nb % panel_ib == 0 and nb <= 2048):
+            raise ValueError(
+                "panel='pallas' needs real fp32 compute, nb % panel_ib == 0 "
+                f"and nb <= 2048; got dtype={a.dtype}, nb={nb}, "
+                f"panel_ib={panel_ib}"
+            )
 
     with _precision.override(precision):
         compute32 = a.dtype == jnp.bfloat16
@@ -418,7 +443,12 @@ def potrf_inplace(
             if off + w >= n:
                 break
             pb = out[off + w :, off : off + w].astype(ctype)
-            lp = _blocktrsm_panel(lkk, pb, ib=ib).astype(out.dtype)
+            if panel == "pallas":
+                lp = panel_apply(
+                    lkk, pb, ib=panel_ib, tb=min(1024, nb)
+                ).astype(out.dtype)
+            else:
+                lp = _blocktrsm_panel(lkk, pb, ib=ib).astype(out.dtype)
             out = lax.dynamic_update_slice(out, lp, (off + w, off))
             out = trailing_update_lower(
                 out, lp, tb=tb, kb=min(kb, nb), alias=True,

@@ -407,3 +407,101 @@ def trailing_update_lower(
         interpret=interpret,
         **kw,
     )(jnp.asarray(i_host), jnp.asarray(j_host), c, p, p)
+
+
+# ---------------------------------------------------------------------------
+# Fused panel-solve application: blocked TRSM over row tiles in one launch
+# ---------------------------------------------------------------------------
+
+
+def _panel_apply_kernel(b_ref, lkk_ref, dinv_ref, out_ref, *, ib: int, nk: int):
+    for j in range(nk):  # static unroll: all slicing is constant-offset
+        sl = slice(j * ib, (j + 1) * ib)
+        acc = b_ref[:, sl].astype(jnp.float32)
+        for i in range(j):
+            acc = acc - _dot_nt(
+                out_ref[:, i * ib : (i + 1) * ib],
+                lkk_ref[sl, i * ib : (i + 1) * ib],
+            )
+        out_ref[:, sl] = _dot_nt(acc, dinv_ref[sl, :]).astype(out_ref.dtype)
+
+
+def panel_apply(
+    lkk: jax.Array,
+    b: jax.Array,
+    *,
+    ib: int = 512,
+    tb: int = 1024,
+    interpret: bool | None = None,
+    vmem_limit_bytes: int | None = 100 * 2**20,
+) -> jax.Array:
+    """Panel solve X·L^T = B as ONE Pallas launch over row tiles — the
+    MXU-resident form of :func:`dla_tpu.algos.potrf._blocktrsm_panel`.
+
+    Per row tile (tb, nb): X_j = (B_j − Σ_{i<j} X_i·L_{j,i}^T)·inv(L_jj)^T
+    for the nb/ib diagonal blocks j, with the running X blocks kept in the
+    VMEM output ref — the inter-block correction GEMMs never round-trip
+    through HBM, and every dot uses the in-kernel 3-pass bf16x3 emission at
+    the ``high`` tier (the XLA fallback's HIGH dots measured ~30 TF/s
+    end-to-end on this panel shape vs ~63 TF/s for the same math in-kernel,
+    ``results_r3/panel1024.jsonl``). The ib×ib diagonal-block inverses are
+    computed *outside* (XLA triangular solves against I — tiny, O(nb·ib²))
+    and passed in as a (nb, ib) vertical stack.
+
+    Reference analogue: the per-panel TRSM task wave
+    (``client_distrib.cpp:526-535``) as a single kernel.
+
+    Constraints: rows of ``b`` must be a multiple of ``tb`` (callers pick
+    ``tb`` to divide the trailing height), ``nb % ib == 0``, and the full
+    (nb, nb) ``lkk`` block plus the (nb, ib) inverse stack must fit VMEM
+    alongside a double-buffered (tb, nb) tile pair — nb ≤ 2048 at fp32.
+    Real dtypes only (the Hermitian path stays on the XLA fallback).
+    """
+    m, nb = b.shape
+    if lkk.shape != (nb, nb):
+        raise ValueError(f"lkk must be ({nb},{nb}), got {lkk.shape}")
+    if nb % ib:
+        raise ValueError(f"panel width {nb} must be a multiple of ib={ib}")
+    tb = min(tb, m)
+    if m % tb:
+        raise ValueError(f"panel rows {m} must be a multiple of tb={tb}")
+    if jnp.issubdtype(lkk.dtype, jnp.complexfloating):
+        raise ValueError("panel_apply is real-only; use the XLA blocktrsm")
+    interpret = _interpret() if interpret is None else interpret
+    nk = nb // ib
+    # diagonal-block inverses, stacked (nb, ib): block j = inv(L_jj)
+    eye = jnp.eye(ib, dtype=lkk.dtype)
+    dinv = jnp.concatenate(
+        [
+            lax.linalg.triangular_solve(
+                lkk[j * ib : (j + 1) * ib, j * ib : (j + 1) * ib],
+                eye, left_side=True, lower=True,
+            )
+            for j in range(nk)
+        ],
+        axis=0,
+    )
+    kw = {}
+    if vmem_limit_bytes is not None:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+            dimension_semantics=("arbitrary",),
+        )
+    return pl.pallas_call(
+        functools.partial(_panel_apply_kernel, ib=ib, nk=nk),
+        grid=(m // tb,),
+        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        in_specs=[
+            pl.BlockSpec((tb, nb), lambda i: (i, 0)),
+            pl.BlockSpec((nb, nb), lambda i: (0, 0)),
+            pl.BlockSpec((nb, ib), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, nb), lambda i: (i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(m) * nb * (nb + 2 * ib),
+            bytes_accessed=int(2 * b.size * b.dtype.itemsize + lkk.size * lkk.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **kw,
+    )(b, lkk, dinv)

@@ -230,3 +230,83 @@ class TestTrailingOrigin:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="alias"):
             trailing_update_lower(c, p, tb=16, origin=2, alias=False)
+
+
+class TestPanelApply:
+    """Fused Pallas panel solve (panel_apply) vs scipy and the XLA
+    blocktrsm it replaces on the headline path."""
+
+    @pytest.mark.parametrize("m,nb,ib,tb", [
+        (128, 32, 16, 64),   # multi-block: correction GEMMs exercised
+        (96, 32, 32, 32),    # nk=1: pure dinv apply
+        (64, 16, 8, 64),     # tb > m: clamped to m
+    ])
+    def test_matches_scipy_solve(self, m, nb, ib, tb):
+        from dla_tpu.kernels.pallas_tiles import panel_apply
+
+        rng = np.random.default_rng(m + nb)
+        lkk = np.tril(rng.standard_normal((nb, nb))) + nb * np.eye(nb)
+        b = rng.standard_normal((m, nb))
+        got = np.asarray(panel_apply(
+            jnp.asarray(lkk, jnp.float32), jnp.asarray(b, jnp.float32),
+            ib=ib, tb=tb))
+        ref = scipy.linalg.solve_triangular(lkk, b.T, lower=True).T
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_matches_blocktrsm(self):
+        from dla_tpu.algos.potrf import _blocktrsm_panel
+        from dla_tpu.kernels.pallas_tiles import panel_apply
+
+        rng = np.random.default_rng(7)
+        m, nb, ib = 64, 32, 16
+        lkk = jnp.asarray(
+            np.tril(rng.standard_normal((nb, nb))) + nb * np.eye(nb),
+            jnp.float32)
+        b = jnp.asarray(rng.standard_normal((m, nb)), jnp.float32)
+        got = np.asarray(panel_apply(lkk, b, ib=ib, tb=32))
+        ref = np.asarray(_blocktrsm_panel(lkk, b, ib=ib))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_shape_and_dtype_gates(self):
+        from dla_tpu.kernels.pallas_tiles import panel_apply
+
+        lkk = jnp.eye(32, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="multiple of ib"):
+            panel_apply(lkk, jnp.zeros((64, 32), jnp.float32), ib=24)
+        with pytest.raises(ValueError, match="multiple of tb"):
+            panel_apply(lkk, jnp.zeros((72, 32), jnp.float32), ib=16, tb=48)
+        with pytest.raises(ValueError, match="real-only"):
+            panel_apply(lkk.astype(jnp.complex64),
+                        jnp.zeros((64, 32), jnp.complex64), ib=16)
+
+    def test_inplace_pallas_panel_matches_lapack(self):
+        """potrf_inplace panel='pallas' (the r3 headline path) end-to-end."""
+        from dla_tpu.algos.potrf import potrf
+
+        a = _spd(256, dtype=np.float32, seed=3)
+        got = np.asarray(potrf(
+            jnp.asarray(a), nb=64, mode="inplace", panel="pallas", ib=32))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(np.tril(got), ref, rtol=5e-4, atol=5e-4)
+
+    def test_inplace_pallas_matches_blocktrsm_path(self):
+        """The two panel backends agree end-to-end (auto = blocktrsm: the
+        Pallas panel lost the interleaved A/B by ~1%, panel_ab.jsonl)."""
+        from dla_tpu.algos.potrf import potrf
+
+        a = _spd(192, dtype=np.float32, seed=11)
+        pal = np.asarray(potrf(
+            jnp.asarray(a), nb=64, mode="inplace", panel="pallas",
+            ib=32, panel_ib=32))
+        xla = np.asarray(potrf(
+            jnp.asarray(a), nb=64, mode="inplace", panel="blocktrsm", ib=32))
+        np.testing.assert_allclose(np.tril(pal), np.tril(xla),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_inplace_pallas_ineligible_raises(self):
+        from dla_tpu.algos.potrf import potrf
+
+        a = _spd(192, dtype=np.float32, seed=2)
+        with pytest.raises(ValueError, match="pallas"):
+            potrf(jnp.asarray(a), nb=64, mode="inplace", panel="pallas",
+                  ib=32, panel_ib=48)
