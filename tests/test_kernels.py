@@ -310,3 +310,19 @@ class TestPanelApply:
         with pytest.raises(ValueError, match="pallas"):
             potrf(jnp.asarray(a), nb=64, mode="inplace", panel="pallas",
                   ib=32, panel_ib=48)
+
+    def test_inplace_pallas_bf16_storage(self):
+        """bf16 storage upcasts panel compute to fp32 tile-locally — the
+        pallas panel is eligible (ctype fp32) and must match blocktrsm."""
+        from dla_tpu.algos.potrf import potrf
+
+        a = _spd(128, dtype=np.float32, seed=9)
+        ab = jnp.asarray(a, jnp.bfloat16)
+        pal = np.asarray(potrf(ab, nb=64, mode="inplace", panel="pallas",
+                               ib=32, panel_ib=32)).astype(np.float32)
+        xla = np.asarray(potrf(ab, nb=64, mode="inplace",
+                               panel="blocktrsm", ib=32)).astype(np.float32)
+        np.testing.assert_allclose(np.tril(pal), np.tril(xla),
+                                   rtol=2e-2, atol=2e-2)
+        ref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(np.tril(pal), ref, rtol=6e-2, atol=6e-2)
