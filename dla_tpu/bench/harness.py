@@ -313,7 +313,7 @@ def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
         ).strip()
     if env:
         run_env.update(env)
-    exit_code, out = 1, ""
+    exit_code, out, err = 1, "", ""
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True,
@@ -321,9 +321,18 @@ def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
         )
         exit_code = proc.returncode
         out = proc.stdout
+        err = proc.stderr or ""
     except subprocess.TimeoutExpired as e:
         exit_code = 124
         out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+    if exit_code not in (0, None):
+        # surface the child's last error lines — a bare rc=1 row is
+        # undiagnosable from the campaign log (the reference's fork/exec
+        # harness let child stderr reach the terminal, benchmark.c:229-265)
+        tail = [ln for ln in err.strip().splitlines() if ln.strip()][-4:]
+        for ln in tail:
+            print(f"  [child stderr] {ln[:300]}", file=sys.stderr, flush=True)
     _, res, _ = parse_metrics(out)
     reps = parse_repeats(out)
     rows = []
