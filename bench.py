@@ -83,9 +83,12 @@ def main():
     # leaves the best headline. Per-tier NB/kb: the frontier is
     # formulation- and tier-dependent (shrink 8192/256; high-inplace
     # 1024/1024 i.e. full-K; default-inplace 4096/1024).
+    # default tier: full-K trailing (kb=nb=4096) measured +16% over kb=1024
+    # (105 → 122 TF/s chained, results_r3/trailing_tb.jsonl) — every C-tile
+    # revisit is an extra accumulate-store round trip on the HBM-bound tier
     tiers = os.environ.get(
         "BENCH_PRECISIONS",
-        "high:inplace:1024:1024,high,default:inplace:4096:1024,highest",
+        "high:inplace:1024:1024,high,default:inplace:4096:4096,highest",
     ).split(",")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
@@ -303,9 +306,10 @@ def main():
             # NB/kb frontier for the bf16 policy: NB 4096 ≈ 2048 ≫ 8192,
             # and kb=1024 over 256 is +20% (104.5 → 125.9 TF/s chained) —
             # half the bytes moves the HBM-bound optimum down, same
-            # direction as f32 default (results_r3/inplace_nb_sweep.jsonl)
+            # direction as f32 default (results_r3/inplace_nb_sweep.jsonl);
+            # full-K (kb=nb) adds another +5% (results_r3/trailing_tb.jsonl)
             bf16_nb = int(os.environ.get("BENCH_BF16_NB", 4096))
-            bf16_kb = int(os.environ.get("BENCH_BF16_KB", 1024))
+            bf16_kb = int(os.environ.get("BENCH_BF16_KB", bf16_nb))
             results["bf16_default_inplace"] = run_tier(
                 "default", storage="bfloat16", formulation="inplace",
                 nb=bf16_nb, kb=bf16_kb)
