@@ -93,9 +93,14 @@ def main():
     # results_r3/bench_headline_55tf.json), and on this remote compile
     # service every extra tier costs ~2 program loads at 45-90 s each —
     # the 5-entry list reproducibly budget-skipped the bf16 tier.
+    # `bf16` is a pseudo-precision: bfloat16 storage through the
+    # single-buffer inplace formulation at the default (1-pass) MXU tier —
+    # the complete bf16 policy space (the compiler rejects HIGH-precision
+    # dots on bf16 operands, ROADMAP negative result).
     tiers = os.environ.get(
         "BENCH_PRECISIONS",
-        "high:inplace:1024:1024,default:inplace:4096:4096,highest",
+        "high:inplace:1024:1024,default:inplace:4096:4096,highest,"
+        "bf16:inplace:4096:4096",
     ).split(",")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
@@ -140,14 +145,47 @@ def main():
     # gen-chain program is tier-independent; loading it once per dtype
     # saves one remote program load (~15-60 s on this service) per tier
 
+    from dla_tpu.ops.lapack_like import plgsy_tile
+
+    def _gen_value(s, dt):
+        """Seeded SPD matrix + s·I in storage dtype ``dt``, never
+        materializing an N² buffer wider than ``dt``.
+
+        Fused path: one elementwise program (iota-compare-select diagonal
+        add, NOT a scatter — a scatter breaks XLA's fusion of the
+        generator into the output buffer and materializes the fp32 N²
+        intermediate: 17.2 GB > HBM for the bf16 N=65536 matrix).
+        Chunked path (large non-f32 sizes): XLA stops fusing the u32 hash
+        intermediates into the narrow output inside larger programs (seen
+        OOMing the chained-factor program at N=65536), so generate
+        (chunk, n) fp32 slabs in a fori_loop and cast per slab — peak
+        extra memory is one slab.
+        """
+        chunk = 2048
+        if dt == jnp.float32 or n * n * 4 <= 10e9 or n % chunk:
+            a = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
+            a = a + jnp.where(
+                idx[:, None] == idx[None, :], s, jnp.float32(0.0))
+            return a if dt == jnp.float32 else a.astype(dt)
+
+        def body(i, out):
+            r0 = i * chunk
+            rows = r0 + jnp.arange(chunk, dtype=jnp.int32)
+            tile = plgsy_tile(51, r0, 0, chunk, n,
+                              bump=float(n), dtype=jnp.float32)
+            tile = tile + jnp.where(
+                rows[:, None] == idx[None, :], s, jnp.float32(0.0))
+            return jax.lax.dynamic_update_slice(
+                out, tile.astype(dt), (r0, 0))
+
+        return jax.lax.fori_loop(0, n // chunk, body, jnp.zeros((n, n), dt))
+
     def make_gen(dt):
         @jax.jit
         def gen(s):
             # the per-iteration bump perturbation keeps any execution-level
             # caching honest across timed repeats
-            a = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
-            a = a.at[idx, idx].add(s)
-            return a if dt == jnp.float32 else a.astype(dt)
+            return _gen_value(s, dt)
 
         return gen
 
@@ -224,6 +262,49 @@ def main():
 
         mark("raw iters done")
 
+        # --- validation (BEFORE the chain: the chain program's internal
+        # gen+factor needs ~N² of HBM on top of whatever is live, so the
+        # raw factor must be validated and freed first — holding l across
+        # the chain OOMs at the in-core frontier sizes) -------------------
+        # validate OUTSIDE the check program (regenerating A inside it adds
+        # plgsy + diag-add temporaries — 16G > 15.75G HBM at N=32768). The
+        # row-chunked residual needs no N² reconstruction temporary (and
+        # therefore no buffer donation — the r2 'unusable donation' warning
+        # came from the monolithic check's 2×4 GiB donated operands);
+        # l is pre-tril'd in place via an elementwise donated program.
+        import functools
+
+        if 2.5 * n * n * jnp.dtype(dt).itemsize > 14.5e9:
+            # A and L cannot co-reside in HBM at this N: validate
+            # matrix-free with the device Freivalds probe (A regenerated
+            # chunkwise from its seed) — the same probe/gate contract as
+            # the campaign driver's in-core-frontier path and the
+            # out-of-core runs. The factor was taken of A + s·I with
+            # s = iters·1e-3 while the probe regenerates bare A; the
+            # mismatch contributes ~s/||A||_inf ≈ 1e-8 — far below the
+            # fp32 residual scale.
+            from dla_tpu.validate import freivalds_device
+
+            chunk_f = next(c for c in (4096, 2048, 1024, 512) if n % c == 0)
+            res = float(freivalds_device(
+                l, seed=51, bump=float(n), probes=2, row_chunk=chunk_f))
+            log(f"[{tag}] freivalds validation (A+L exceed HBM at N={n})")
+        else:
+            a = gen(jnp.float32(iters * 1e-3))
+            if dt not in _trils:
+                _trils[dt] = jax.jit(jnp.tril, donate_argnums=0)
+                _checks[dt] = jax.jit(
+                    functools.partial(
+                        residual_potrf, assume_symmetric=True,
+                        assume_tril=True, row_chunk=2048,
+                    ),
+                )
+            l = _trils[dt](l)
+            res = float(_checks[dt](a, l))
+        l = None
+        a = None
+        mark("validation done")
+
         # --- RTT-amortized device time -----------------------------------
         # Each raw iteration above embeds one host↔device tunnel round trip
         # (~30-46 ms on the axon tunnel — CLAUDE.md; a local-PCIe host pays
@@ -239,9 +320,8 @@ def main():
         if chain_k:
             if dt not in _chain_gens:
                 def genf(s, _dt=dt):
-                    a = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
-                    a = a.at[idx, idx].add(1e-3 + s.astype(jnp.float32) * 1e-9)
-                    return a if _dt == jnp.float32 else a.astype(_dt)
+                    return _gen_value(
+                        1e-3 + s.astype(jnp.float32) * 1e-9, _dt)
 
                 _chain_gens[dt] = (
                     genf,
@@ -289,31 +369,9 @@ def main():
             with trace(os.path.join(trace_dir, prec)):
                 l2 = fn(a)
                 _ = float(l2[n - 1, n - 1])
-            l2 = None  # free before validation — l2 + a + l + check
-            # internals exceed HBM at N=32768 otherwise
+            l2 = None  # free before returning — keep peak HBM bounded
             log(f"[{tag}] profiler trace written to {trace_dir}/{prec}")
 
-        # validate OUTSIDE the check program (regenerating A inside it adds
-        # plgsy + diag-add temporaries — 16G > 15.75G HBM at N=32768). The
-        # row-chunked residual needs no N² reconstruction temporary (and
-        # therefore no buffer donation — the r2 'unusable donation' warning
-        # came from the monolithic check's 2×4 GiB donated operands);
-        # l is pre-tril'd in place via an elementwise donated program.
-        import functools
-
-        a = gen(jnp.float32(iters * 1e-3))
-        if dt not in _trils:
-            _trils[dt] = jax.jit(jnp.tril, donate_argnums=0)
-            _checks[dt] = jax.jit(
-                functools.partial(
-                    residual_potrf, assume_symmetric=True, assume_tril=True,
-                    row_chunk=2048,
-                ),
-            )
-        l = _trils[dt](l)
-        res = float(_checks[dt](a, l))
-        l = None
-        mark("validation done")
         log(f"[{tag}] Performance: {gflops:.2f} Gflop/s")
         log(f"[{tag}] ||A - LL^T||_inf / ||A||_inf = {res:.2e}")
         out = {"gflops": round(gflops, 1), "gflops_raw": round(gflops_raw, 1),
@@ -324,9 +382,13 @@ def main():
 
     results: dict[str, dict] = {}
     for i, spec in enumerate(tiers):
-        # spec grammar: `precision[:formulation[:nb[:kb]]]`
+        # spec grammar: `precision[:formulation[:nb[:kb]]]`; precision
+        # `bf16` selects bfloat16 storage at the default compute tier
         parts = spec.strip().split(":")
         prec = parts[0]
+        storage = "float32"
+        if prec == "bf16":
+            storage, prec = "bfloat16", "default"
         form = parts[1] if len(parts) > 1 else "shrink"
         nb_t = int(parts[2]) if len(parts) > 2 else nb
         kb_t = int(parts[3]) if len(parts) > 3 else kb
@@ -339,31 +401,13 @@ def main():
                 log(f"[{spec}] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
                 continue
         key = f"{prec}_{form}" if form != "shrink" else prec
-        results[key] = run_tier(prec, formulation=form, nb=nb_t, kb=kb_t)
+        if storage == "bfloat16":
+            key = f"bf16_{key}"
+        results[key] = run_tier(prec, storage=storage, formulation=form,
+                                nb=nb_t, kb=kb_t)
         results[key]["nb"] = nb_t
         if kb_t != kb:
             results[key]["kb"] = kb_t
-
-    # bf16-storage split-precision policy (r3 study): half the HBM bytes
-    # through the single-buffer potrf_inplace — its own `tiers` entry,
-    # never the headline
-    if os.environ.get("BENCH_BF16", "1") == "1" and results:
-        elapsed = time.perf_counter() - t_start
-        est = max(r["compile_s"] for r in results.values()) + 10
-        if elapsed + est > budget_s:
-            log(f"[bf16/default] skipped: {elapsed:.0f}s elapsed + ~{est:.0f}s est > {budget_s:.0f}s budget")
-        else:
-            # NB/kb frontier for the bf16 policy: NB 4096 ≈ 2048 ≫ 8192,
-            # and kb=1024 over 256 is +20% (104.5 → 125.9 TF/s chained) —
-            # half the bytes moves the HBM-bound optimum down, same
-            # direction as f32 default (results_r3/inplace_nb_sweep.jsonl);
-            # full-K (kb=nb) adds another +5% (results_r3/trailing_tb.jsonl)
-            bf16_nb = int(os.environ.get("BENCH_BF16_NB", 4096))
-            bf16_kb = int(os.environ.get("BENCH_BF16_KB", bf16_nb))
-            results["bf16_default_inplace"] = run_tier(
-                "default", storage="bfloat16", formulation="inplace",
-                nb=bf16_nb, kb=bf16_kb)
-            results["bf16_default_inplace"]["nb"] = bf16_nb
 
     from dla_tpu.utils.precision import DEFAULT as LIB_DEFAULT_PRECISION
 
