@@ -18,6 +18,15 @@ NB=448, hybrid 3CPU+1GPU via Chameleon/StarPU (BASELINE.md; bench.csv).
 GFLOP/s accounting matches the reference exactly: (1/3)·N³ / t
 (``v6_test.c:60`` — no lower-order terms).
 
+Each tier runs at its own measured frontier config
+(`precision[:formulation[:nb[:kb[:n]]]]` specs, BENCH_PRECISIONS): the
+single-buffer inplace formulation gains throughput with N all the way to
+each storage dtype's in-core limit, so the headline N is the frontier
+size, exactly as the reference's repo-best picked its own best (N, NB)
+from its sweep. Validation at sizes where A and L cannot co-reside in
+HBM uses the matrix-free device-Freivalds probe — the same gate contract
+as the campaign driver and the out-of-core runs.
+
 Timing convention: the headline ``value`` amortizes the axon tunnel's
 ~30-46 ms host↔device RTT by chaining K on-device factorizations through a
 scalar carry and subtracting the identically-chained generation time (the
@@ -97,12 +106,23 @@ def main():
     # single-buffer inplace formulation at the default (1-pass) MXU tier —
     # the complete bf16 policy space (the compiler rejects HIGH-precision
     # dots on bf16 operands, ROADMAP negative result).
+    # Per-tier N (5th spec field): throughput rises with N on the
+    # single-buffer inplace path all the way to each storage dtype's
+    # in-core frontier (probes committed as results_r3/probe_frontier_*):
+    # high fp32 peaks at N=57344 (59.4 TF/s chained = 94% of the bf16x3
+    # ceiling), default fp32 at 49152 (144.2), bf16 at 65536 (164.0 = 90%
+    # of the 1-pass ceiling). `highest` stays at the r1/r2-comparable
+    # N=32768 shrink config.
     tiers = os.environ.get(
         "BENCH_PRECISIONS",
-        "high:inplace:1024:1024,default:inplace:4096:4096,highest,"
-        "bf16:inplace:4096:4096",
+        "high:inplace:1024:1024:57344,default:inplace:4096:4096:49152,"
+        "highest,bf16:inplace:4096:4096:65536",
     ).split(",")
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
+    # 480 s fit the old all-at-N=32768 list; the per-tier frontier sizes
+    # legitimately cost more device time (N=57344 high ≈ 1.06 s/factor ×
+    # (3 raw + 8 chained) + 28 s Freivalds) plus 2 remote program loads
+    # per tier at 45-90 s each on this compile service
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 750))
 
     import jax
 
@@ -121,8 +141,6 @@ def main():
         f"N={n} NB={nb} dtype=float32 iters={iters} panel={panel} "
         f"trailing={trailing} tb={tb} kb={kb} alias={alias} diag={diag} tiers={tiers}"
     )
-
-    idx = jnp.arange(n)
 
     # Absorb the compile service's first-contact stall OUTSIDE the budget
     # clock: the remote TPU compile service stalls spontaneously for
@@ -147,7 +165,7 @@ def main():
 
     from dla_tpu.ops.lapack_like import plgsy_tile
 
-    def _gen_value(s, dt):
+    def _gen_value(s, dt, n):
         """Seeded SPD matrix + s·I in storage dtype ``dt``, never
         materializing an N² buffer wider than ``dt``.
 
@@ -162,6 +180,7 @@ def main():
         extra memory is one slab.
         """
         chunk = 2048
+        idx = jnp.arange(n)
         if dt == jnp.float32 or n * n * 4 <= 10e9 or n % chunk:
             a = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
             a = a + jnp.where(
@@ -180,12 +199,12 @@ def main():
 
         return jax.lax.fori_loop(0, n // chunk, body, jnp.zeros((n, n), dt))
 
-    def make_gen(dt):
+    def make_gen(dt, n):
         @jax.jit
         def gen(s):
             # the per-iteration bump perturbation keeps any execution-level
             # caching honest across timed repeats
-            return _gen_value(s, dt)
+            return _gen_value(s, dt, n)
 
         return gen
 
@@ -193,7 +212,7 @@ def main():
 
     def run_tier(prec: str, *, storage: str = "float32",
                  formulation: str = "shrink", nb: int = nb,
-                 kb: int = kb):
+                 kb: int = kb, n: int = n):
         """One (precision tier, storage dtype, formulation, nb) measurement.
 
         The default storage/formulation is the library headline path
@@ -207,9 +226,10 @@ def main():
         tag = prec if dt == jnp.float32 else f"bf16/{prec}"
         if formulation != "shrink":
             tag += f"/{formulation}"
-        if dt not in _gens:
-            _gens[dt] = make_gen(dt)
-        gen = _gens[dt]
+        tag += f"@{n}" if n != 32768 else ""
+        if (dt, n) not in _gens:
+            _gens[dt, n] = make_gen(dt, n)
+        gen = _gens[dt, n]
 
         def step(a):
             if formulation == "inplace":
@@ -291,16 +311,17 @@ def main():
             log(f"[{tag}] freivalds validation (A+L exceed HBM at N={n})")
         else:
             a = gen(jnp.float32(iters * 1e-3))
-            if dt not in _trils:
-                _trils[dt] = jax.jit(jnp.tril, donate_argnums=0)
-                _checks[dt] = jax.jit(
+            rc = next(c for c in (2048, 1024, 512, 256, 128, 1) if n % c == 0)
+            if (dt, rc) not in _checks:
+                _trils[dt, rc] = jax.jit(jnp.tril, donate_argnums=0)
+                _checks[dt, rc] = jax.jit(
                     functools.partial(
                         residual_potrf, assume_symmetric=True,
-                        assume_tril=True, row_chunk=2048,
+                        assume_tril=True, row_chunk=rc,
                     ),
                 )
-            l = _trils[dt](l)
-            res = float(_checks[dt](a, l))
+            l = _trils[dt, rc](l)
+            res = float(_checks[dt, rc](a, l))
         l = None
         a = None
         mark("validation done")
@@ -318,16 +339,16 @@ def main():
         gflops = gflops_raw
         chain = None
         if chain_k:
-            if dt not in _chain_gens:
-                def genf(s, _dt=dt):
+            if (dt, n) not in _chain_gens:
+                def genf(s, _dt=dt, _n=n):
                     return _gen_value(
-                        1e-3 + s.astype(jnp.float32) * 1e-9, _dt)
+                        1e-3 + s.astype(jnp.float32) * 1e-9, _dt, _n)
 
-                _chain_gens[dt] = (
+                _chain_gens[dt, n] = (
                     genf,
                     jax.jit(lambda s: genf(s)[n - 1, n - 1].astype(jnp.float32)),
                 )
-            genf, cg = _chain_gens[dt]
+            genf, cg = _chain_gens[dt, n]
 
             # the scalar carry stays f32 so the chained call never
             # retraces (bf16 storage would otherwise flip the carry dtype
@@ -382,7 +403,7 @@ def main():
 
     results: dict[str, dict] = {}
     for i, spec in enumerate(tiers):
-        # spec grammar: `precision[:formulation[:nb[:kb]]]`; precision
+        # spec grammar: `precision[:formulation[:nb[:kb[:n]]]]`; precision
         # `bf16` selects bfloat16 storage at the default compute tier
         parts = spec.strip().split(":")
         prec = parts[0]
@@ -392,6 +413,7 @@ def main():
         form = parts[1] if len(parts) > 1 else "shrink"
         nb_t = int(parts[2]) if len(parts) > 2 else nb
         kb_t = int(parts[3]) if len(parts) > 3 else kb
+        n_t = int(parts[4]) if len(parts) > 4 else n
         elapsed = time.perf_counter() - t_start
         if i > 0 and results:
             # each further tier costs roughly one compile + iters; skip if the
@@ -404,8 +426,9 @@ def main():
         if storage == "bfloat16":
             key = f"bf16_{key}"
         results[key] = run_tier(prec, storage=storage, formulation=form,
-                                nb=nb_t, kb=kb_t)
+                                nb=nb_t, kb=kb_t, n=n_t)
         results[key]["nb"] = nb_t
+        results[key]["n"] = n_t
         if kb_t != kb:
             results[key]["kb"] = kb_t
 
@@ -426,7 +449,10 @@ def main():
     ):
         head_tier, head = f"{head_tier}_inplace", alt
     out = {
-        "metric": f"POTRF fp32({head_tier}) N={n} NB={head.get('nb', nb)} single-chip",
+        "metric": (
+            f"POTRF fp32({head_tier}) N={head.get('n', n)} "
+            f"NB={head.get('nb', nb)} single-chip"
+        ),
         "value": head["gflops"],
         "unit": "GFLOP/s",
         "vs_baseline": round(head["gflops"] / BASELINE_GFLOPS, 2),
@@ -434,7 +460,8 @@ def main():
         "gflops_raw": head.get("gflops_raw"),
         "tiers": {
             p: {"gflops": r["gflops"], "gflops_raw": r.get("gflops_raw"),
-                "residual": r["residual"], "nb": r.get("nb", nb)}
+                "residual": r["residual"], "nb": r.get("nb", nb),
+                "n": r.get("n", n)}
             for p, r in results.items()
         },
         "config": {"panel": panel, "trailing": trailing, "tb": tb, "kb": kb,

@@ -78,16 +78,21 @@ CHIPS = {
 # Measured single-chip end-to-end POTRF rates at the `high` tier, raw
 # per-invocation convention (best config per N) — the single-chip side of
 # the crossover. Interpolated linearly in N; saturates at the last entry.
-# r3 refresh: the inplace NB/kb-frontier campaign medians
-# (results_r3/sweep.csv inplace rows; 32768 from the nb=1024/kb=1024
-# bench median, results_r3/inplace_nb_sweep.jsonl) replaced the r2
-# shrink medians — the distributed comparison is against the *best*
-# single-chip formulation, not last round's.
+# Late-r3 refresh: full-K (kb=1024) inplace campaign medians
+# (results_r3/sweep_kb.csv, NB=1024 high rows) through the fp32 in-core
+# frontier N=57344 (probe median, results_r3/probe_frontier_n57344_high
+# .log) — the distributed comparison is against the *best* single-chip
+# formulation at each N, not last round's.
 SINGLE_CHIP_HIGH_GFLOPS = {
-    4096: 700.0,   # small-N regime (panel-solve dominated; r2 value)
-    8192: 4429.0,
-    16384: 22176.0,
-    32768: 48013.0,
+    4096: 925.0,   # small-N regime (panel-solve dominated)
+    8192: 6076.0,
+    12288: 15712.0,
+    16384: 25790.0,
+    24576: 40885.0,
+    32768: 49437.0,
+    40960: 53780.0,
+    49152: 56519.0,
+    57344: 58085.0,
 }
 
 

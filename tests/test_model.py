@@ -129,13 +129,14 @@ class TestSuperAccounting:
 
 class TestProjections:
     def test_single_chip_rate_interp(self):
-        # r3 frontier curve (inplace campaign medians, raw convention)
-        assert single_chip_rate(32768) == pytest.approx(48013.0)
-        assert single_chip_rate(24576) == pytest.approx(
-            22176 + (48013 - 22176) * (24576 - 16384) / (32768 - 16384)
+        # late-r3 frontier curve (full-K inplace campaign medians, raw
+        # convention, through the fp32 in-core frontier N=57344)
+        assert single_chip_rate(32768) == pytest.approx(49437.0)
+        assert single_chip_rate(28672) == pytest.approx(
+            40885 + (49437 - 40885) * (28672 - 24576) / (32768 - 24576)
         )
         # saturates beyond the measured range
-        assert single_chip_rate(131072) == pytest.approx(48013.0)
+        assert single_chip_rate(131072) == pytest.approx(58085.0)
 
     def test_projection_fields_sane(self):
         layout = BlockCyclicLayout(n=32768, nb=1024, p=2, q=4)
