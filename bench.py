@@ -109,20 +109,26 @@ def main():
     # Per-tier N (5th spec field): throughput rises with N on the
     # single-buffer inplace path all the way to each storage dtype's
     # in-core frontier (probes committed as results_r3/probe_frontier_*):
-    # high fp32 peaks at N=57344 (59.4 TF/s chained = 94% of the bf16x3
-    # ceiling), default fp32 at 49152 (144.2), bf16 at 65536 (164.0 = 90%
-    # of the 1-pass ceiling). `highest` stays at the r1/r2-comparable
-    # N=32768 shrink config.
+    # high fp32 peaks at its in-core limit N=61440, 15.06 GiB (59.5 TF/s
+    # chained = 94.5% of the bf16x3 ceiling; 57344 measured 59.4),
+    # default fp32 at 57344 (150.7 = 83% of the 1-pass ceiling; 49152:
+    # 144.2), bf16 at 65536 (164.0 = 90% of the 1-pass ceiling; the
+    # N=81920 probe measured LOWER, 160.2 — the bf16 curve is flat past
+    # the north-star size, probe_frontier2.log). `highest` stays at the
+    # r1/r2-comparable N=32768 shrink config.
     tiers = os.environ.get(
         "BENCH_PRECISIONS",
-        "high:inplace:1024:1024:57344,default:inplace:4096:4096:49152,"
+        "high:inplace:1024:1024:61440,default:inplace:4096:4096:57344,"
         "highest,bf16:inplace:4096:4096:65536",
     ).split(",")
     # 480 s fit the old all-at-N=32768 list; the per-tier frontier sizes
-    # legitimately cost more device time (N=57344 high ≈ 1.06 s/factor ×
-    # (3 raw + 8 chained) + 28 s Freivalds) plus 2 remote program loads
+    # legitimately cost more device time (N=61440 high ≈ 1.32 s/factor ×
+    # (3 raw + 8 chained) + ~76 s Freivalds) plus 2 remote program loads
     # per tier at 45-90 s each on this compile service
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 750))
+    # (900: the late-r3 frontier bump — high 57344→61440, default
+    # 49152→57344 — adds ~80 s of legitimate device time; 750 would
+    # budget-skip the bf16 tier again)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 900))
 
     import jax
 
