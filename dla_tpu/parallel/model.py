@@ -88,11 +88,14 @@ SINGLE_CHIP_HIGH_GFLOPS = {
     8192: 6076.0,
     12288: 15712.0,
     16384: 25790.0,
+    20480: 33760.0,
     24576: 40885.0,
+    28672: 45905.0,
     32768: 49437.0,
     40960: 53780.0,
     49152: 56519.0,
-    57344: 58085.0,
+    57344: 58023.0,
+    61440: 58489.0,  # the fp32 in-core limit (15.06 GiB), probe raw median
 }
 
 

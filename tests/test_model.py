@@ -130,13 +130,13 @@ class TestSuperAccounting:
 class TestProjections:
     def test_single_chip_rate_interp(self):
         # late-r3 frontier curve (full-K inplace campaign medians, raw
-        # convention, through the fp32 in-core frontier N=57344)
+        # convention, through the fp32 in-core limit N=61440)
         assert single_chip_rate(32768) == pytest.approx(49437.0)
-        assert single_chip_rate(28672) == pytest.approx(
-            40885 + (49437 - 40885) * (28672 - 24576) / (32768 - 24576)
+        assert single_chip_rate(26624) == pytest.approx(
+            40885 + (45905 - 40885) * (26624 - 24576) / (28672 - 24576)
         )
-        # saturates beyond the measured range
-        assert single_chip_rate(131072) == pytest.approx(58085.0)
+        # saturates beyond the measured range (the in-core-limit rate)
+        assert single_chip_rate(131072) == pytest.approx(58489.0)
 
     def test_projection_fields_sane(self):
         layout = BlockCyclicLayout(n=32768, nb=1024, p=2, q=4)
