@@ -461,7 +461,9 @@ def main():
         ),
         "value": head["gflops"],
         "unit": "GFLOP/s",
-        "vs_baseline": round(head["gflops"] / BASELINE_GFLOPS, 2),
+        # 4 significant digits, not 2 decimals: a tiny smoke-test run
+        # (sub-GF/s on a contended CPU) must not round down to 0.0
+        "vs_baseline": float(f"{head['gflops'] / BASELINE_GFLOPS:.4g}"),
         "residual": head["residual"],
         "gflops_raw": head.get("gflops_raw"),
         "tiers": {

@@ -12,7 +12,11 @@ multi-chip over an ICI mesh; with one physical chip, the answer is a
   (the per-step executed-flop geometry of the shipping ``_potrf_local``,
   already gated ≤1.2× ideal in tests) divided over devices at the
   *measured* per-tier single-chip GEMM ceilings (``docs/STATUS_r2.md``:
-  chained-GEMM probe, RTT-corrected);
+  chained-GEMM probe, RTT-corrected). The unrolled geometry is also
+  representative of the nt>64 super-stepped path since the ROADMAP-#5
+  staircase body: ``flop_accounting_super`` at the default segment
+  sizing is ~1.08-1.11× ideal (gated ≤1.5×), within a few percent of
+  the unrolled 1.2× gate;
 - **comm** comes from the same accounting's per-step collective volumes
   (psum over 'c' + all_gather over 'r' of the windowed panel), which are
   validated against the **compiled HLO's actual collective operands** on a

@@ -266,13 +266,15 @@ def flop_accounting_super(
     """Executed-flop accounting of :func:`_potrf_local_super`'s geometry
     (VERDICT r2 weak #6 — the fori variant had no gate).
 
-    Mirrors ``_fori_window`` exactly: within a segment every device (no
-    cond gating) factors the diag tile, solves the *full window column*
-    (``wr`` rows), and runs one full-window ``wr × nb × wc`` trailing GEMM
-    per step; masked operands zero the results but the flops are spent.
-    The window shrinks only at segment boundaries (static slice), so the
-    overhead ratio falls as ``super_steps`` shrinks — gated in
-    ``tests/test_parallel.py`` (monotonicity + a ≤3× bound at the default
+    Mirrors ``_fori_window`` exactly (post-ROADMAP-#5 geometry): every
+    device factors the diag tile redundantly; the full-window-column solve
+    is cond-gated to the p devices of mesh column kc; the trailing update
+    runs per window tile column with the static staircase row start
+    ``max(li0, (gj·q)//p)`` — flops are spent on the staircase area plus
+    the ≤1-tile boundary band and the within-segment shrink slack (the
+    window base li0 advances only at segment boundaries). The overhead
+    ratio falls as ``super_steps`` shrinks — gated in
+    ``tests/test_model.py`` (monotonicity + a ≤1.5× bound at the default
     segment sizing, vs the unrolled path's ≤1.2×).
     """
     nt, nb, p, q = layout.ntiles, layout.nb, layout.p, layout.q
@@ -284,11 +286,15 @@ def flop_accounting_super(
         s1 = min(nt, s0 + super_steps)
         li0, lj0 = s0 // p, s0 // q
         wr = (ltr - li0) * nb
-        wc = (ltc - lj0) * nb
         for k in range(s0, s1):
             s_chol = p * q * nb**3 / 3
-            s_solve = p * q * wr * nb**2
-            s_trail = p * q * 2 * wr * nb * wc
+            s_solve = p * wr * nb**2  # cond-gated to column kc's p devices
+            s_trail = 0
+            for lj in range(ltc - lj0):
+                row0 = (max(li0, ((lj + lj0) * q) // p) - li0) * nb
+                if row0 >= wr:
+                    continue
+                s_trail += p * q * 2 * (wr - row0) * nb * nb
             chol += s_chol
             solve += s_solve
             trail += s_trail
@@ -317,7 +323,25 @@ def flop_accounting_super(
 def _fori_window(sub, layout: BlockCyclicLayout, k0: int, k1: int, li0: int, lj0: int):
     """fori_loop over panel steps k ∈ [k0, k1) operating on the static local
     window starting at local tile (li0, lj0). All in-window indices are
-    traced (dynamic slices); per-k masking handles the boundary."""
+    traced (dynamic slices); per-k masking handles the boundary.
+
+    Two flop-geometry refinements over the r2/early-r3 full-window body
+    (ROADMAP #5; they cut the accounted overhead at the default segment
+    sizing from ~2.1× ideal to ~1.3×, ``flop_accounting_super``):
+
+    - the panel solve is cond-gated to mesh column kc (the other q−1
+      columns previously solved the full window column and discarded it);
+    - the trailing update is emitted **per window tile column** with a
+      *static* staircase row start ``max(li0, (gj·q)//p)`` — within a
+      segment the window base li0 is a Python constant, so the staircase
+      envelope per column is static even though k is traced. The single
+      full-window (wr × nb)·(nb × wc) GEMM spent ~2× the ideal flops on
+      the upper-triangle half; the per-column tall GEMMs spend only the
+      staircase area (plus the ≤1-tile conservative boundary band and the
+      within-segment shrink slack, both masked per-k). Tiles above the
+      staircase hold garbage thereafter — safe for the same reason as in
+      :func:`_potrf_local`: every later read touches only lower tiles.
+    """
     nb, p, q = layout.nb, layout.p, layout.q
     r = lax.axis_index("r")
     c = lax.axis_index("c")
@@ -326,7 +350,7 @@ def _fori_window(sub, layout: BlockCyclicLayout, k0: int, k1: int, li0: int, lj0
     wr, wc = sub.shape  # window dims (static)
     gtrow = ((jnp.arange(wr) // nb) + li0) * p + r
     gtcol = ((jnp.arange(wc) // nb) + lj0) * q + c
-    j_elem = jnp.arange(wc)
+    m_elem = jnp.arange(nb)
 
     def body(k, x):
         kr, kc = k % p, k % q
@@ -337,11 +361,16 @@ def _fori_window(sub, layout: BlockCyclicLayout, k0: int, k1: int, li0: int, lj0
         lkk = jnp.tril(lax.linalg.cholesky(diag, symmetrize_input=False))
 
         col = lax.dynamic_slice(x, (jnp.zeros_like(k), ljk * nb), (wr, nb))
-        solved = lax.linalg.triangular_solve(
-            lkk, col, left_side=False, lower=True, transpose_a=True
+        in_kc = c == kc
+        solved = lax.cond(
+            in_kc,
+            lambda cw: lax.linalg.triangular_solve(
+                lkk, cw, left_side=False, lower=True, transpose_a=True
+            ),
+            jnp.zeros_like,
+            col,
         )
         below = (gtrow > k)[:, None]
-        in_kc = c == kc
         newcol = jnp.where(below & in_kc, solved, col)
         x = lax.dynamic_update_slice(x, newcol, (jnp.zeros_like(k), ljk * nb))
         cur = lax.dynamic_slice(x, (lik * nb, ljk * nb), (nb, nb))
@@ -352,11 +381,25 @@ def _fori_window(sub, layout: BlockCyclicLayout, k0: int, k1: int, li0: int, lj0
         panel_rows = lax.psum(jnp.where(below & in_kc, newcol, zero), "c")
         panel_full = lax.all_gather(panel_rows, "r")  # (p, wr, nb)
         a_op = jnp.where(below, panel_rows, zero)
-        jtile = ((j_elem // nb) + lj0) * q + c
-        b_op = panel_full[jtile % p, (jtile // p - li0) * nb + j_elem % nb, :]
-        b_op = jnp.where((gtcol > k)[:, None], b_op, zero)
-        upd = jnp.matmul(a_op, b_op.T, preferred_element_type=_acc(dtype))
-        return x - upd.astype(dtype)
+        # per-column staircase trailing update (static row starts)
+        for lj in range(wc // nb):
+            lj_abs = lj + lj0
+            row0 = (max(li0, (lj_abs * q) // p) - li0) * nb
+            if row0 >= wr:
+                continue
+            j0, j1 = lj * nb, (lj + 1) * nb
+            gcol = lj_abs * q + c  # traced global tile col of this column
+            # B operand: the panel tile row matching global tile gcol;
+            # columns finished before k (incl. gcol < the window base,
+            # whose out-of-window gather reads garbage) are masked to
+            # zero AFTER the gather, so the stray read is harmless.
+            b_col = panel_full[gcol % p, (gcol // p - li0) * nb + m_elem, :]
+            b_col = jnp.where((gtcol[j0:j1] > k)[:, None], b_col, zero)
+            upd = jnp.matmul(
+                a_op[row0:], b_col.T, preferred_element_type=_acc(dtype)
+            )
+            x = x.at[row0:, j0:j1].add(-upd.astype(dtype))
+        return x
 
     return lax.fori_loop(k0, k1, body, sub)
 

@@ -103,19 +103,23 @@ class TestSuperAccounting:
         r_mid = flop_accounting_super(layout, 32)["ratio"]
         r_fori = flop_accounting_super(layout, nt)["ratio"]
         assert r_small < r_mid < r_fori
-        # pure fori: full-width square masked updates every step — 2× for
-        # square-vs-triangle times ~3× for never shrinking ⇒ ~6× ideal
-        assert 5.0 < r_fori < 7.0
+        # pure fori (one segment): the per-column static staircase caps
+        # the trail term at the staircase area from a never-advancing
+        # window base ⇒ ~3× ideal (was ~6× with the pre-ROADMAP-#5
+        # full-window GEMM)
+        assert 2.5 < r_fori < 3.5
 
     def test_default_sizing_bounded(self):
         """The auto segment sizing (≤32 segments — potrf_block_cyclic)
-        must keep the fori variant's masked-flop overhead ≤2.5× ideal
-        (measured ~2.1× at nt=128/256 on 2×4), vs ≤1.2× unrolled."""
+        must keep the fori variant's masked-flop overhead ≤1.5× ideal
+        (measured ~1.08-1.11× at nt=128/256 on 2×4 after the ROADMAP-#5
+        staircase/cond-gated body — it now beats the unrolled path's
+        ≤1.2× gate)."""
         for nt in (128, 256):
             layout = BlockCyclicLayout(n=16 * nt, nb=16, p=2, q=4)
             ss = max(1, -(-nt // 32))
             r = flop_accounting_super(layout, ss)["ratio"]
-            assert r < 2.5, (nt, ss, r)
+            assert r < 1.5, (nt, ss, r)
 
     def test_super_counts_all_devices_unmasked(self):
         """Sanity: the fori geometry spends ≥ the unrolled geometry
