@@ -12,9 +12,13 @@ capability). This measures exactly that on the TPU:
   chain (scalar-free carry: b_i = b0 + 1e-20·x_{i-1} keeps the data
   dependency so XLA cannot overlap/elide the sequential solves — the
   same RTT-amortizing convention as bench.py's chained factorizations);
-- report per-solve latency and GF/s at 4·N²·NRHS flops per solve
-  (two triangular block solves at N²·NRHS MACs each; the ib³ diagonal
-  inversions are O(N·ib²) — negligible);
+- report per-solve latency and GF/s at the LAPACK convention
+  2·N²·NRHS flops per solve (two triangular block solves at N²/2·NRHS
+  MACs each — the blocked GEMMs touch only the triangle; the ib³
+  diagonal inversions are O(N·ib²) — negligible). The first committed
+  ``solve_serving.json`` used a 4·N²·NRHS overcount; its GF/s fields
+  are 2× high (columns/s and latency unaffected) — superseded by
+  ``solve_serving_sweep.jsonl``;
 - validate one solve end-to-end: ||A·X − B||_inf / (||A||_inf·||X||_inf)
   at fp32-grade (the ≤1e-10 refined contract is posv_refined's, exercised
   in tests/test_solve.py on CPU fp64 and in the bf16 N=65536 artifact).
@@ -89,7 +93,7 @@ def main():
         _ = float(x[N - 1, NRHS - 1])
         times.append(time.perf_counter() - t0)
     t_raw = sorted(times)[1]
-    flops = 4.0 * N * N * NRHS
+    flops = 2.0 * N * N * NRHS  # LAPACK POTRS convention
     log(f"single solve (raw, incl RTT): {t_raw:.4f}s -> "
         f"{flops / t_raw / 1e9:.1f} GFLOP/s")
 

@@ -50,7 +50,9 @@ from dla_tpu.algos import (  # noqa: F401
     potrf,
     potrf_blocked,
     potrf_masked,
+    potri,
     potrs,
+    solve_inverse,
 )
 from dla_tpu.validate import (  # noqa: F401
     cholesky_invariants,

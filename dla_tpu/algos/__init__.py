@@ -5,6 +5,11 @@ from dla_tpu.algos.potrf import (  # noqa: F401
     potrf_masked,
     potrf_shrink,
 )
+from dla_tpu.algos.potri import (  # noqa: F401
+    potri,
+    potrf_batched,
+    solve_inverse,
+)
 from dla_tpu.algos.solve import (  # noqa: F401
     posv,
     posv_refined,

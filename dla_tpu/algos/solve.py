@@ -64,7 +64,9 @@ def _solve_lower_blocked(l: jax.Array, b: jax.Array, *, trans: bool, ib: int = 5
     return x
 
 
-def potrs(l: jax.Array, b: jax.Array, *, blocked: bool | None = None) -> jax.Array:
+def potrs(
+    l: jax.Array, b: jax.Array, *, blocked: bool | None = None, ib: int = 512
+) -> jax.Array:
     """Solve A·X = B given A = L·L^T (L·L^H for c/z): two triangular solves
     (forward then back substitution). Mirrors LAPACK ``dpotrs``; the
     reference ships the factor path only, the solve path is part of the
@@ -72,7 +74,10 @@ def potrs(l: jax.Array, b: jax.Array, *, blocked: bool | None = None) -> jax.Arr
 
     ``blocked`` (default: auto, n ≥ 2048) routes through the unrolled
     block-inverse solves instead of XLA's native triangular_solve — see
-    :func:`_solve_lower_blocked` for why.
+    :func:`_solve_lower_blocked` for why. ``ib`` is that path's block
+    size: the solve is a sequential chain of 2·n/ib block steps, so at
+    serving shapes (resident factor, wide RHS blocks) larger ``ib``
+    trades diagonal-inverse flops for a shorter dependency chain.
     """
     vec = b.ndim == 1
     bb = b[:, None] if vec else b
@@ -80,8 +85,8 @@ def potrs(l: jax.Array, b: jax.Array, *, blocked: bool | None = None) -> jax.Arr
     if blocked is None:
         blocked = l.shape[-1] >= 2048
     if blocked:
-        y = _solve_lower_blocked(l, bb, trans=False)
-        x = _solve_lower_blocked(l, y, trans=True)
+        y = _solve_lower_blocked(l, bb, trans=False, ib=ib)
+        x = _solve_lower_blocked(l, y, trans=True, ib=ib)
     else:
         ls = l.astype(jnp.float32) if l.dtype == jnp.bfloat16 else l
         bb = bb.astype(ls.dtype) if bb.dtype != ls.dtype else bb

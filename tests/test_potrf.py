@@ -106,6 +106,35 @@ class TestSolve:
         x = np.asarray(potrs(l, jnp.asarray(b)))
         np.testing.assert_allclose(a @ x, b, rtol=1e-8, atol=1e-8)
 
+    def test_potrs_blocked_ib_values_agree(self):
+        """The serving knob: every ib yields the same solution through the
+        blocked (n >= 2048 auto) path, forced here on a small n."""
+        n = 384
+        a = _spd(n, seed=24)
+        b = np.random.default_rng(25).standard_normal((n, 8))
+        l = potrf_blocked(jnp.asarray(a), nb=64)
+        for ib in (64, 128, 384, 512):
+            x = np.asarray(potrs(l, jnp.asarray(b), blocked=True, ib=ib))
+            np.testing.assert_allclose(a @ x, b, rtol=1e-8, atol=1e-8)
+
+    def test_solve_inverse_serving_path(self):
+        """potri (blocked) + solve_inverse == potrs to the fp64 gate on a
+        well-conditioned SPD matrix (forward error ~kappa*eps)."""
+        from dla_tpu.algos import potri, solve_inverse
+
+        n = 320
+        a = _spd(n, seed=26)
+        b = np.random.default_rng(27).standard_normal((n, 8))
+        l = potrf_blocked(jnp.asarray(a), nb=64)
+        ainv = potri(l, blocked=True, ib=64)
+        x = np.asarray(solve_inverse(ainv, jnp.asarray(b)))
+        np.testing.assert_allclose(a @ x, b, rtol=1e-8, atol=1e-8)
+        # and the two potri routes agree
+        ainv_native = np.asarray(potri(l, blocked=False))
+        np.testing.assert_allclose(
+            np.asarray(ainv), ainv_native, rtol=1e-8, atol=1e-10
+        )
+
     def test_mixed_precision_refinement_hits_fp64_grade(self):
         """fp32 factor + fp64 refinement must reach ≤1e-10 solve residual
         (north star, BASELINE.json config 3)."""
