@@ -121,6 +121,65 @@ def plot_perf_grid(
     return out_path
 
 
+def plot_serving(
+    jsonl_paths,
+    out_path: str = "results/solve_serving.png",
+    *,
+    ceiling_gflops: float = 63000.0,
+):
+    """Serving characterization figure from the solve-path jsonl artifacts
+    (``solve_serving_sweep.jsonl`` / ``solve_latency_probe.jsonl`` /
+    ``solve_serving_n65536.jsonl``): RHS columns/s and GF/s vs the RHS
+    block width, one series per (path, N), with the high-tier kernel
+    ceiling for scale. The reference has no solve-path plot to mirror —
+    this follows the perf-grid house style."""
+    import json as _json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = []
+    for p in jsonl_paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(_json.loads(line))
+    df = pd.DataFrame(rows)
+    if "path" not in df:
+        df = df.assign(path="potrs")
+    df["path"] = df["path"].fillna("potrs")
+    # the latency probe sweeps ib for potrs; keep the shipping default
+    if "ib" in df:
+        df = df[(df["path"] != "potrs") | df["ib"].isna()
+                | (df["ib"] == 512)]
+    df = (
+        df.groupby(["path", "n", "nrhs"], as_index=False)
+        .agg({"rhs_cols_per_s": "max", "gflops": "max"})
+    )
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
+    for (path, n), g in df.groupby(["path", "n"]):
+        g = g.sort_values("nrhs")
+        for ax, col in zip(axes, ("rhs_cols_per_s", "gflops")):
+            ax.plot(g["nrhs"], g[col], marker="o", label=f"{path} N={n}")
+    axes[1].axhline(ceiling_gflops, ls="--", c="gray", lw=1,
+                    label="high-tier kernel ceiling")
+    for ax, ylab in zip(axes, ("RHS columns/s", "GFLOP/s (2·N²·NRHS)")):
+        ax.set_xscale("log", base=2)
+        ax.set_xlabel("NRHS (RHS block width)")
+        ax.set_ylabel(ylab)
+        ax.legend(fontsize=7)
+    axes[0].set_title("serving throughput from a resident factor")
+    axes[1].set_title("solve rate vs the factor kernel ceiling")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def plot_residuals(csv_path: str, out_path: str = "results/residuals.png"):
     import matplotlib
 

@@ -345,3 +345,30 @@ class TestPlots:
 
         assert os.path.getsize(p1) > 1000
         assert os.path.getsize(p2) > 1000
+
+    def test_plot_serving_from_jsonl(self, tmp_path):
+        import json as _json
+        import os
+
+        from dla_tpu.bench.plots import plot_serving
+
+        rows = [
+            {"path": "potrs", "n": 16384, "nrhs": 128, "ib": 512,
+             "per_solve_s": 5e-3, "gflops": 12000.0,
+             "rhs_cols_per_s": 23000.0},
+            {"path": "potrs", "n": 16384, "nrhs": 128, "ib": 2048,
+             "per_solve_s": 9e-3, "gflops": 7000.0,
+             "rhs_cols_per_s": 14000.0},  # filtered: non-default ib
+            {"n": 16384, "nrhs": 1024, "chain": 16,  # sweep row, no path/ib
+             "per_solve_s": 1.3e-2, "gflops": 41000.0,
+             "rhs_cols_per_s": 76000.0},
+            {"path": "inverse", "n": 16384, "nrhs": 128, "ib": 1024,
+             "per_solve_s": 3e-3, "gflops": 22000.0,
+             "rhs_cols_per_s": 42000.0},
+        ]
+        jp = str(tmp_path / "s.jsonl")
+        with open(jp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        p = plot_serving([jp], str(tmp_path / "serving.png"))
+        assert os.path.getsize(p) > 1000
