@@ -88,8 +88,11 @@ def main():
     _ = float(a[0, 0].astype(jnp.float32))
     log(f"gen bf16 (8.6 GiB): {time.perf_counter() - t0:.1f}s")
 
+    # bench.py's bf16-tier config: nb=kb=4096, tb=1024 (tb=4096 overflows
+    # the 128M VMEM budget: 2-deep-buffered bf16[4096,4096] windows)
     fact = jax.jit(
-        lambda x: potrf_inplace(x, nb=NB, tb=NB, kb=NB, precision="default"),
+        lambda x: potrf_inplace(x, nb=NB, tb=1024, kb=NB,
+                                precision="default"),
         donate_argnums=0,
     )
     t0 = time.perf_counter()

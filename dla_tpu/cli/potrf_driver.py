@@ -136,10 +136,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--solve",
-        choices=["none", "potrs", "refined"],
+        choices=["none", "potrs", "refined", "inverse"],
         default="none",
-        help="also solve A·X=B: plain POTRS, or mixed-precision iterative "
-        "refinement (fp32 factor + fp64 residual — north-star config 3)",
+        help="also solve A·X=B: plain POTRS, mixed-precision iterative "
+        "refinement (fp32 factor + fp64 residual — north-star config 3), "
+        "or the explicit-inverse serving fast path (POTRI + one GEMM per "
+        "query; ~κ(A)·eps forward error — 1.3-1.8× potrs throughput on "
+        "chip, docs/STATUS_r3.md)",
     )
     ap.add_argument("--nrhs", type=int, default=1, help="right-hand sides for --solve")
     ap.add_argument(
@@ -513,13 +516,18 @@ def main(argv=None) -> int:
             print(f"SOLVE FAIL (residual >= {sgate:g})")
             rc = 1
     elif args.solve != "none":
-        from dla_tpu.algos import posv_refined, potrs
+        from dla_tpu.algos import posv_refined, potri, potrs, solve_inverse
         from dla_tpu.validate import residual_posv
 
         b = jnp.ones((cfg.n, args.nrhs), l.dtype)
         if args.solve == "refined":
             _, x, _ = posv_refined(a, b, nb=cfg.nb, factor_dtype=jnp.float32)
             sgate = 1e-10 if jax.config.jax_enable_x64 else cfg.n * 2e-7
+        elif args.solve == "inverse":
+            x = solve_inverse(potri(l), b)
+            sgate = args.gate if args.gate is not None else (
+                1e-10 if jnp.dtype(cfg.dtype) == jnp.float64 else cfg.n * 2e-6
+            )
         else:
             x = potrs(l, b)
             sgate = args.gate if args.gate is not None else (

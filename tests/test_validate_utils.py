@@ -78,3 +78,19 @@ class TestOracleCLI:
         )
         assert r.returncode == 0, r.stdout + r.stderr
         assert "SOLVE PASS" in r.stdout
+
+    def test_driver_solve_inverse(self):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+                "--n", "256", "--nb", "64", "--dtype", "d", "--x64",
+                "--platform", "cpu", "--solve", "inverse", "--nrhs", "2",
+            ],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "SOLVE PASS" in r.stdout
