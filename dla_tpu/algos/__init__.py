@@ -16,4 +16,5 @@ from dla_tpu.algos.solve import (  # noqa: F401
     posv_refined_host,
     posv_refined_streamed,
     potrs,
+    potrs_batched,
 )

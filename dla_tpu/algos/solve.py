@@ -95,6 +95,23 @@ def potrs(
     return x[:, 0] if vec else x
 
 
+def potrs_batched(l: jax.Array, b: jax.Array, **kw) -> jax.Array:
+    """Batch of POTRS over leading axes: (..., n, n) resident factors ×
+    (..., n, nrhs) RHS blocks, vmapped — the solve half of the batched
+    serving workload (:func:`dla_tpu.algos.potri.potrf_batched`). Small
+    n routes through XLA's native batched triangular_solve (the
+    ``blocked`` auto-threshold applies per matrix)."""
+    batch_shape = l.shape[:-2]
+    n = l.shape[-1]
+    nrhs = b.shape[-1]
+    if b.shape[:-2] != batch_shape or b.shape[-2] != n:
+        raise ValueError(f"batch/shape mismatch: {l.shape} vs {b.shape}")
+    lf = l.reshape((-1, n, n))
+    bf = b.reshape((-1, n, nrhs))
+    out = jax.vmap(lambda li, bi: potrs(li, bi, **kw))(lf, bf)
+    return out.reshape(*batch_shape, n, nrhs)
+
+
 def posv(a: jax.Array, b: jax.Array, *, nb: int = 256, **kw):
     """Factor + solve (LAPACK ``dposv``). Returns (L, X)."""
     l = potrf_blocked(a, nb=nb, **kw)

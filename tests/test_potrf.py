@@ -218,6 +218,21 @@ class TestPotriBatched:
         ref = np.linalg.inv(a)
         np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
 
+    def test_potrs_batched(self):
+        from dla_tpu.algos import potrs_batched
+        from dla_tpu.algos.potri import potrf_batched
+
+        rng = np.random.default_rng(62)
+        batch, n, nrhs = 4, 64, 3
+        gs = rng.standard_normal((batch, n, n))
+        a = (gs + gs.transpose(0, 2, 1)) / 2 + n * np.eye(n)
+        b = rng.standard_normal((batch, n, nrhs))
+        ls = potrf_batched(jnp.asarray(a), nb=16)
+        xs = np.asarray(potrs_batched(ls, jnp.asarray(b)))
+        for i in range(batch):
+            np.testing.assert_allclose(a[i] @ xs[i], b[i],
+                                       rtol=1e-8, atol=1e-8)
+
     def test_potrf_batched(self):
         from dla_tpu.algos.potri import potrf_batched
 
