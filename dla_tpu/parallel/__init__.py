@@ -17,6 +17,12 @@ from dla_tpu.parallel.model import (  # noqa: F401
     project,
     single_chip_rate,
 )
+from dla_tpu.parallel.serving import (  # noqa: F401
+    make_serving_mesh,
+    project_serving,
+    serving_comm_elems,
+    solve_inverse_sharded,
+)
 from dla_tpu.parallel.potrf_dist import (  # noqa: F401
     flop_accounting,
     flop_accounting_super,

@@ -56,6 +56,8 @@ class ChipSpec:
       rarely exceed ~70-80% of line rate).
     latency_us: per-collective launch+hop latency.
     hbm_gib: usable HBM per chip — bounds the largest single-chip N.
+    hbm_gbps: HBM stream bandwidth (public spec: v5e 819, v5p 2765 GB/s)
+      — rates the bandwidth-bound serving regime (parallel/serving.py).
     """
 
     tflops: dict
@@ -63,6 +65,7 @@ class ChipSpec:
     link_efficiency: float
     latency_us: float
     hbm_gib: float
+    hbm_gbps: float = 819.0
 
 
 # v5e compute ceilings are MEASURED on this chip (STATUS_r2 chained-GEMM
@@ -76,6 +79,7 @@ CHIPS = {
     "v5p": ChipSpec(
         tflops={"default": 424.0, "high": 147.0, "highest": 73.2},
         ici_gbps=600.0, link_efficiency=0.75, latency_us=2.0, hbm_gib=95.0,
+        hbm_gbps=2765.0,
     ),
 }
 

@@ -246,3 +246,104 @@ class TestOocoreProjection:
         a = oocore_volumes(131072, 2048)["stream_bytes"]
         b = oocore_volumes(131072, 4096)["stream_bytes"]
         assert b < a
+
+
+class TestServingSharded:
+    """Multi-chip serving (`parallel/serving.py`): correctness of the
+    row-sharded inverse apply on the virtual mesh, the all-gather volume
+    pinned to the compiled HLO, and projection-model sanity."""
+
+    def test_sharded_apply_matches_dense(self):
+        from dla_tpu.algos.potri import potri
+        from dla_tpu.algos.potrf import potrf_blocked
+        from dla_tpu.parallel.serving import (
+            make_serving_mesh, solve_inverse_sharded,
+        )
+
+        rng = np.random.default_rng(71)
+        n, nrhs, p = 64, 5, 8
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        b = rng.standard_normal((n, nrhs))
+        l = potrf_blocked(jnp.asarray(a), nb=16)
+        ainv = potri(l)
+        mesh = make_serving_mesh(p)
+        x = np.asarray(solve_inverse_sharded(ainv, jnp.asarray(b), mesh))
+        np.testing.assert_allclose(a @ x, b, rtol=1e-9, atol=1e-9)
+
+    def test_allgather_volume_matches_hlo(self):
+        """The projection model's comm term claims one ring all-gather of
+        (p-1)/p·n·nrhs elements per query; the compiled HLO must carry
+        exactly one all-gather whose operand·(p-1) equals that."""
+        from dla_tpu.parallel.serving import (
+            make_serving_mesh, serving_comm_elems, sharded_apply,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n, nrhs, p = 128, 8, 8
+        mesh = make_serving_mesh(p)
+        ainv = jax.device_put(
+            jnp.eye(n, dtype=jnp.float64),
+            NamedSharding(mesh, P("d", None)),
+        )
+        b = jnp.zeros((n, nrhs), jnp.float64)
+        hlo = jax.jit(sharded_apply(mesh)).lower(ainv, b).compile().as_text()
+        ops = [c for c in _collectives(hlo) if c[0] == "all-gather"]
+        assert len(ops) == 1, ops
+        op, elems, glen = ops[0]
+        assert glen == p
+        operand = elems // glen
+        assert operand * (p - 1) == serving_comm_elems(n, nrhs, p)
+
+    def test_projection_sanity(self):
+        from dla_tpu.parallel.serving import project_serving, serving_rate
+
+        # rate curve monotone in nrhs and saturating at the ends
+        assert serving_rate(1) < serving_rate(64) < serving_rate(1024)
+        assert serving_rate(1) == serving_rate(0)
+        assert serving_rate(1024) == serving_rate(8192)
+        r = project_serving(16384, 128, 4)
+        assert 0 < r["comm_fraction"] < 1
+        assert 0 < r["speedup"] < 4
+        assert r["efficiency"] == pytest.approx(r["speedup"] / 4)
+        # the memory-unlock claim: f32 A^-1 at the north-star size does
+        # not fit one v5e (17.2 GiB > 15.75) but does fit 4 ways
+        big = project_serving(65536, 128, 4)
+        assert not big["single_chip_holds_ainv"]
+        assert big["mesh_holds_ainv"]
+
+    def test_wide_rhs_pays_narrow_does_not(self):
+        """The serving analogue of the reference's 'hybrid pays only at
+        N>=12000': single-RHS queries are latency/comm-bound and sharding
+        loses; wide blocks amortize the all-gather and win."""
+        from dla_tpu.parallel.serving import project_serving
+
+        narrow = project_serving(16384, 1, 4)
+        wide = project_serving(16384, 4096, 4)
+        assert narrow["speedup"] < wide["speedup"]
+        assert wide["speedup"] > 1
+
+    def test_committed_serving_artifact_matches_model(self):
+        """benchmarks/results_r3/serving_projection.json must equal what
+        the model produces today (regenerate with
+        benchmarks/serving_projection.py)."""
+        import json
+        import os
+
+        from dla_tpu.parallel.serving import project_serving
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "results_r3", "serving_projection.json",
+        )
+        with open(path) as f:
+            rows = json.load(f)
+        assert len(rows) == 96  # 2 chips x 3 N x 4 nrhs x 4 p
+        for row in rows:
+            r = project_serving(
+                row["n"], row["nrhs"], row["p"], chip=row["chip"]
+            )
+            assert r["speedup"] == pytest.approx(row["speedup"], rel=1e-9)
+            assert r["cols_per_s"] == pytest.approx(
+                row["cols_per_s"], rel=1e-9
+            )
