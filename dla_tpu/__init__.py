@@ -46,13 +46,19 @@ from dla_tpu.ops import (  # noqa: F401
     trsm,
 )
 from dla_tpu.algos import (  # noqa: F401
+    pack_tri,
     posv,
     potrf,
     potrf_blocked,
     potrf_masked,
+    potrf_packed,
     potri,
+    potri_packed,
     potrs,
+    potrs_packed,
     solve_inverse,
+    solve_inverse_packed,
+    unpack_tri,
 )
 from dla_tpu.validate import (  # noqa: F401
     cholesky_invariants,

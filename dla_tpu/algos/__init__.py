@@ -5,6 +5,18 @@ from dla_tpu.algos.potrf import (  # noqa: F401
     potrf_masked,
     potrf_shrink,
 )
+from dla_tpu.algos.packed import (  # noqa: F401
+    lauum_packed,
+    pack_tri,
+    packed_len,
+    plgsy_packed,
+    potrf_packed,
+    potri_packed,
+    potrs_packed,
+    solve_inverse_packed,
+    trtri_packed,
+    unpack_tri,
+)
 from dla_tpu.algos.potri import (  # noqa: F401
     potri,
     potrf_batched,
