@@ -139,11 +139,11 @@ def phase_a():
     del ainv
     # packed inverse
     lp = jax.jit(lambda l: pack_tri(l, tb))(l)
-    _ = float(lp[0])
+    _ = float(lp[0, 0])
     del l
     pinv = jax.jit(lambda p: potri_packed(p, n, tb), donate_argnums=0)
     sp = pinv(lp)
-    _ = float(sp[0])
+    _ = float(sp[0, 0])
     # rebuild lp for a warm timing (donated away)
     from dla_tpu.algos.packed import plgsy_packed, potrf_packed
 
@@ -152,10 +152,10 @@ def phase_a():
                                           dtype=jnp.float32),
                              n, tb, precision="high")
     )()
-    _ = float(lp2[0])
+    _ = float(lp2[0, 0])
     t0 = time.perf_counter()
     sp = pinv(lp2)
-    _ = float(sp[0])
+    _ = float(sp[0, 0])
     t_packed_build = time.perf_counter() - t0
     log(f"packed potri warm: {t_packed_build:.3f}s "
         f"({2.0 * n**3 / 3 / t_packed_build / 1e12:.1f} TF/s at 2n^3/3)")
@@ -177,7 +177,7 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True):
     gen = jax.jit(lambda: plgsy_packed(n, tb, seed=7, dtype=jnp.float32))
     t0 = time.perf_counter()
     ap = gen()
-    _ = float(ap[0])
+    _ = float(ap[0, 0])
     log(f"gen: {time.perf_counter() - t0:.1f}s (incl compile)")
     fact = jax.jit(
         lambda p: potrf_packed(p, n, tb, precision=precision),
@@ -185,13 +185,13 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True):
     )
     t0 = time.perf_counter()
     lp = fact(ap)
-    _ = float(lp[0])
+    _ = float(lp[0, 0])
     log(f"potrf_packed cold: {time.perf_counter() - t0:.1f}s")
     ap = gen()
-    _ = float(ap[0])
+    _ = float(ap[0, 0])
     t0 = time.perf_counter()
     lp = fact(ap)
-    _ = float(lp[0])
+    _ = float(lp[0, 0])
     t_fact = time.perf_counter() - t0
     gf = n**3 / 3 / t_fact / 1e9
     log(f"potrf_packed warm: {t_fact:.2f}s = {gf:.0f} GF/s")
@@ -214,7 +214,7 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True):
     pinv = jax.jit(lambda p: potri_packed(p, n, tb), donate_argnums=0)
     t0 = time.perf_counter()
     sp = pinv(lp)
-    _ = float(sp[0])
+    _ = float(sp[0, 0])
     log(f"potri_packed cold: {time.perf_counter() - t0:.1f}s")
     emit({
         "path": "potri_packed", "n": n, "tb": tb,

@@ -47,10 +47,15 @@ from dla_tpu.ops import gemm, trsm
 
 
 def packed_len(n: int, tb: int) -> int:
-    """Flat element count of the packed triangle: n·(n+tb)/2."""
+    """Element count of the packed triangle: n·(n+tb)/2."""
     _check(n, tb)
     nt = n // tb
     return tb * tb * nt * (nt + 1) // 2
+
+
+def packed_rows(n: int, tb: int) -> int:
+    """Leading dim of the packed (rows, tb) buffer: n·(n+tb)/(2·tb)."""
+    return packed_len(n, tb) // tb
 
 
 def _check(n: int, tb: int):
@@ -58,34 +63,39 @@ def _check(n: int, tb: int):
         raise ValueError(f"n={n} must be a multiple of tb={tb}")
 
 
-def _offset(j: int, nt: int, tb: int) -> int:
-    """Flat offset of block-column j's slab (static Python int)."""
-    return tb * tb * (j * nt - j * (j - 1) // 2)
+def _row_offset(j: int, nt: int, tb: int) -> int:
+    """Row offset of block-column j's slab in the (rows, tb) buffer
+    (static Python int)."""
+    return tb * (j * nt - j * (j - 1) // 2)
 
 
 def col_slab(packed: jax.Array, j: int, n: int, tb: int) -> jax.Array:
-    """Block-column j as a dense ((nt-j)·tb, tb) view (static slice)."""
+    """Block-column j as its ((nt-j)·tb, tb) row range — a pure static
+    row slice of the 2-D buffer, no reshape (a 1-D layout forced XLA to
+    materialize a full-buffer reshape temp at N=65536 — the 2-D
+    representation keeps every access a slice/DUS the compiler can do
+    in place)."""
     nt = n // tb
-    off = _offset(j, nt, tb)
-    rows = (nt - j) * tb
-    return packed[off : off + rows * tb].reshape(rows, tb)
+    r0 = _row_offset(j, nt, tb)
+    return packed[r0 : r0 + (nt - j) * tb]
 
 
 def _set_col(packed: jax.Array, j: int, slab: jax.Array, n: int, tb: int):
     nt = n // tb
-    off = _offset(j, nt, tb)
+    r0 = _row_offset(j, nt, tb)
     return lax.dynamic_update_slice(
-        packed, slab.astype(packed.dtype).reshape(-1), (off,)
+        packed, slab.astype(packed.dtype), (r0, 0)
     )
 
 
 def pack_tri(a: jax.Array, tb: int) -> jax.Array:
-    """Dense (n, n) → packed lower triangle (reads only tril(a))."""
+    """Dense (n, n) → packed lower triangle, a (n·(n+tb)/(2·tb), tb)
+    2-D buffer (reads only tril(a))."""
     n = a.shape[-1]
     _check(n, tb)
     nt = n // tb
     return jnp.concatenate(
-        [a[j * tb :, j * tb : (j + 1) * tb].reshape(-1) for j in range(nt)]
+        [a[j * tb :, j * tb : (j + 1) * tb] for j in range(nt)], axis=0
     )
 
 
@@ -277,9 +287,9 @@ def plgsy_packed(
     return jnp.concatenate([
         plgsy_tile(
             seed, j * tb, j * tb, (nt - j) * tb, tb, bump=bump, dtype=dtype
-        ).reshape(-1)
+        )
         for j in range(nt)
-    ])
+    ], axis=0)
 
 
 def potrf_packed(

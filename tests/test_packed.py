@@ -39,7 +39,7 @@ class TestPackedLayout:
         n, tb = 256, 64
         a = _spd(n, 1)
         p = pack_tri(jnp.asarray(a), tb)
-        assert p.shape == (packed_len(n, tb),)
+        assert p.shape == (packed_len(n, tb) // tb, tb)
         assert packed_len(n, tb) == n * (n + tb) // 2
         back = np.asarray(unpack_tri(p, n, tb))
         np.testing.assert_array_equal(back, np.tril(a))
@@ -248,5 +248,5 @@ class TestPackedAux:
         r = float(freivalds_packed(lp, n, tb))
         assert r < 1e-12, r
         # a corrupted factor must fail the gate
-        bad = lp.at[10_000].add(1.0)
+        bad = lp.at[100, 10].add(1.0)
         assert float(freivalds_packed(bad, n, tb)) > 1e-8
