@@ -165,16 +165,18 @@ def phase_a():
     del sp
 
 
-def frontier(n, tb, precision, do_potri=True, do_serve=True):
+def frontier(n, tb, precision, do_potri=True, do_serve=True,
+             dtype=jnp.float32):
     from dla_tpu.algos.packed import (
         freivalds_packed, plgsy_packed, potrf_packed, potri_packed,
         solve_inverse_packed,
     )
 
-    gib = n * (n + tb) / 2 * 4 / 2**30
+    isz = jnp.dtype(dtype).itemsize
+    gib = n * (n + tb) / 2 * isz / 2**30
     log(f"=== frontier N={n} tb={tb} precision={precision} "
-        f"packed={gib:.1f} GiB")
-    gen = jax.jit(lambda: plgsy_packed(n, tb, seed=7, dtype=jnp.float32))
+        f"dtype={jnp.dtype(dtype).name} packed={gib:.1f} GiB")
+    gen = jax.jit(lambda: plgsy_packed(n, tb, seed=7, dtype=dtype))
     t0 = time.perf_counter()
     ap = gen()
     _ = float(ap[0, 0])
@@ -187,6 +189,7 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True):
     lp = fact(ap)
     _ = float(lp[0, 0])
     log(f"potrf_packed cold: {time.perf_counter() - t0:.1f}s")
+    del lp  # lp + a regenerated ap cannot co-reside at frontier sizes
     ap = gen()
     _ = float(ap[0, 0])
     t0 = time.perf_counter()
@@ -199,12 +202,14 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True):
     res = float(jax.jit(
         lambda p: freivalds_packed(p, n, tb, seed=7, key=1)
     )(lp))
-    gate = 1e-4
+    # f32: ~N*eps32-ish; bf16 storage: sqrt(N)*eps_bf16 (driver gates)
+    gate = 1e-4 if dtype == jnp.float32 else n**0.5 * 2e-4
     log(f"freivalds {res:.2e} {'PASS' if res < gate else 'FAIL'} "
         f"(gate {gate}, {time.perf_counter() - t0:.1f}s)")
     emit({
         "path": "potrf_packed", "n": n, "tb": tb,
-        "precision": precision, "t_s": round(t_fact, 2),
+        "precision": precision, "dtype": jnp.dtype(dtype).name,
+        "t_s": round(t_fact, 2),
         "gflops": round(gf, 1), "freivalds": res,
         "packed_gib": round(gib, 2),
     })
@@ -249,6 +254,15 @@ def main():
         frontier(73728, 4096, "default")
     if "D" in PHASES:
         frontier(81920, 4096, "default", do_potri=False)
+    if "E" in PHASES:
+        # bf16 packed: extends the bf16 in-core frontier past the dense
+        # limit N=65536 (STATUS_r3: 81920 dense bf16 fits but measured
+        # flat-to-down; packed reaches sizes dense bf16 cannot hold)
+        frontier(98304, 4096, "default", do_potri=False,
+                 dtype=jnp.bfloat16)
+    if "F" in PHASES:
+        frontier(106496, 4096, "default", do_potri=False,
+                 dtype=jnp.bfloat16)
     log("done")
 
 

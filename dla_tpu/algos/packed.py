@@ -426,3 +426,27 @@ def freivalds_packed(
         na = na + jnp.sum(jnp.abs(strip), axis=1)
     denom = jnp.max(na) * jnp.max(jnp.abs(x))
     return jnp.max(jnp.abs(ax - y.astype(ct))) / denom
+
+
+def residual_posv_streamed(
+    x: jax.Array, b: jax.Array, n: int, *, seed: int = 51,
+    bump: float | None = None, cb: int = 1024,
+) -> jax.Array:
+    """``||B − A·X||_inf / (||A||_inf·||X||_inf)`` for the seeded SPD
+    generator matrix, with A applied and its norm accumulated in
+    streamed strips — the solve-path validation when A cannot be
+    materialized next to the packed state (same contract as
+    ``validate.residual_posv``)."""
+    from dla_tpu.ops.lapack_like import plgsy_tile
+
+    if bump is None:
+        bump = float(n)
+    cb = min(cb, n)
+    ct = _ctype(x.dtype)
+    ax = spd_matvec_streamed(x, n, seed=seed, bump=bump, cb=cb, dtype=ct)
+    na = jnp.zeros((n,), ct)
+    for j0 in range(0, n, cb):
+        strip = plgsy_tile(seed, 0, j0, n, cb, bump=bump, dtype=ct)
+        na = na + jnp.sum(jnp.abs(strip), axis=1)
+    denom = jnp.max(na) * jnp.max(jnp.abs(x))
+    return jnp.max(jnp.abs(b.astype(ct) - ax)) / denom

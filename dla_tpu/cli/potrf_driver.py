@@ -60,7 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--q", type=int, default=None, help="mesh cols (distributed)")
     ap.add_argument(
         "--mode",
-        choices=["blocked", "masked", "shrink", "inplace", "distributed"],
+        choices=["blocked", "masked", "shrink", "inplace", "packed",
+                 "distributed"],
         default=None,
     )
     ap.add_argument(
@@ -235,7 +236,17 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(cfg, n=view.m)
         print(f"[dla-potrf] {view.describe()}", flush=True)
 
-    if args.input:
+    # pure packed path: the whole point is never materializing a dense
+    # square — generate the packed triangle directly from the tile-local
+    # generator (frontier sizes would OOM on the dense generation below)
+    packed_pure = (
+        cfg.mode == "packed" and not args.input and view is None
+        and cfg.uplo == "L" and cfg.gen == "plgsy" and not is_complex
+    )
+
+    if packed_pure:
+        a = None
+    elif args.input:
         if args.input.endswith(".npy"):
             host = np.load(args.input)
         else:
@@ -264,7 +275,8 @@ def main(argv=None) -> int:
         a = plghe(cfg.n, bump=bump, seed=cfg.seed, dtype=dtype)
     else:
         a = plgsy(cfg.n, bump=bump, seed=cfg.seed, dtype=dtype)
-    a = jax.block_until_ready(a)
+    if a is not None:
+        a = jax.block_until_ready(a)
     if cfg.uplo == "U":
         # present the matrix through its upper triangle (A = U^H U surface)
         a = jnp.conj(jnp.tril(a)).swapaxes(-1, -2) if not args.input else a
@@ -287,6 +299,53 @@ def main(argv=None) -> int:
         def run():
             lx = potrf_block_cyclic(x, layout, mesh)
             return jnp.asarray(np.tril(to_dense(lx, layout)))
+
+    elif cfg.mode == "packed":
+        # triangle-only storage: n(n+tb)/2 resident elements — the
+        # ~√2× in-core frontier formulation (algos/packed.py)
+        from dla_tpu.algos.packed import pack_tri, plgsy_packed, potrf_packed
+
+        if cfg.uplo != "L":
+            print("[dla-potrf] --mode packed supports uplo L only")
+            return 2
+        kw = {"diag_factor": args.diag}
+        if args.precision:
+            kw["precision"] = args.precision
+        if packed_pure:
+            fact = jax.jit(
+                lambda p: potrf_packed(p, cfg.n, cfg.nb, **kw),
+                donate_argnums=0,
+            )
+
+            def fresh_p():
+                return jax.block_until_ready(jax.jit(
+                    lambda: plgsy_packed(cfg.n, cfg.nb, bump=bump,
+                                         seed=cfg.seed, dtype=dtype)
+                )())
+
+            box = {"p": fresh_p()}
+
+            def prep():
+                if box["p"] is None:
+                    box["p"] = fresh_p()
+
+            def run():
+                p_i = box["p"]
+                box["p"] = None
+                lp = fact(p_i)
+                _ = float(jnp.real(lp[0, 0]))
+                return lp
+
+        else:
+            factnd = jax.jit(
+                lambda x: potrf_packed(pack_tri(x, cfg.nb), cfg.n,
+                                       cfg.nb, **kw)
+            )
+
+            def run():
+                lp = factnd(a)
+                _ = float(jnp.real(lp[0, 0]))
+                return lp
 
     elif args.checked:
         from dla_tpu.validate.checked import potrf_checked
@@ -395,6 +454,26 @@ def main(argv=None) -> int:
 
     rc = 0
     res = None
+    lp_packed = l if cfg.mode == "packed" else None
+    if cfg.check and cfg.mode == "packed":
+        if packed_pure:
+            # matrix-free device Freivalds from the packed factor — the
+            # triangle and a dense A cannot co-reside at the frontier
+            # sizes this mode exists for
+            from dla_tpu.algos.packed import freivalds_packed
+
+            res = float(jax.jit(
+                lambda p: freivalds_packed(
+                    p, cfg.n, cfg.nb, seed=cfg.seed, bump=bump
+                )
+            )(l))
+            print(f"freivalds ||(A - LL^T)x|| / (||A|| ||x||) = {res:.2e}")
+        else:
+            # small/user-input case: unpack and fall through to the
+            # exact dense residual below
+            from dla_tpu.algos.packed import unpack_tri
+
+            l = unpack_tri(l, cfg.n, cfg.nb)
     if cfg.check and inplace_regen:
         # the repeats donated every A. When A, L and the hoisted Lᵀ cannot
         # co-reside on the chip (the in-core frontier sizes this formulation
@@ -480,7 +559,52 @@ def main(argv=None) -> int:
             print(f"FAIL (residual >= {gate:g})")
             rc = 1
 
-    if args.solve == "refined" and not jax.config.jax_enable_x64:
+    if args.solve != "none" and cfg.mode == "packed":
+        if args.solve == "refined":
+            print("[dla-potrf] --solve refined is not supported with "
+                  "--mode packed (use potrs/inverse)")
+            return 2
+        from dla_tpu.algos.packed import (
+            potri_packed,
+            potrs_packed,
+            residual_posv_streamed,
+            solve_inverse_packed,
+        )
+
+        ct = jnp.float32 if jnp.dtype(cfg.dtype) == jnp.bfloat16 else dtype
+        b = jnp.ones((cfg.n, args.nrhs), ct)
+        if args.solve == "inverse":
+            sp = jax.jit(
+                lambda p: potri_packed(p, cfg.n, cfg.nb), donate_argnums=0
+            )(lp_packed)
+            x = jax.jit(
+                lambda s, bb: solve_inverse_packed(s, bb, cfg.n, cfg.nb)
+            )(sp, b)
+        else:
+            x = jax.jit(
+                lambda p, bb: potrs_packed(p, bb, cfg.n, cfg.nb)
+            )(lp_packed, b)
+        if packed_pure:
+            sres = float(jax.jit(
+                lambda xx, bb: residual_posv_streamed(
+                    xx, bb, cfg.n, seed=cfg.seed, bump=bump
+                )
+            )(x, b))
+        else:
+            from dla_tpu.validate import residual_posv
+
+            sres = float(residual_posv(a, b.astype(x.dtype), x))
+        print(f"||B - A X||_inf / (||A||_inf ||X||_inf) = {sres:.2e}")
+        sgate = args.gate if args.gate is not None else (
+            1e-10 if jnp.dtype(cfg.dtype) in (jnp.float64, jnp.complex128)
+            else cfg.n * 2e-6
+        )
+        if sres < sgate and np.isfinite(sres):
+            print(f"SOLVE PASS (residual < {sgate:g})")
+        else:
+            print(f"SOLVE FAIL (residual >= {sgate:g})")
+            rc = 1
+    elif args.solve == "refined" and not jax.config.jax_enable_x64:
         # Hybrid refinement: on this TPU path fp64 silently degrades, so the
         # route to the reference's 1e-10 solve contract is an fp32 device
         # factor + correction solves with host-fp64 residuals (only the

@@ -372,3 +372,47 @@ class TestPlots:
                 f.write(_json.dumps(r) + "\n")
         p = plot_serving([jp], str(tmp_path / "serving.png"))
         assert os.path.getsize(p) > 1000
+
+
+class TestDriverPacked:
+    def test_driver_packed_pure_freivalds_and_solve(self):
+        """--mode packed, generator input: the fully packed pipeline
+        (no dense square) with the matrix-free Freivalds gate and the
+        packed solve contract."""
+        r = _run(
+            [
+                sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+                "--n", "512", "--nb", "128", "--dtype", "d", "--x64",
+                "--platform", "cpu", "--mode", "packed",
+                "--solve", "potrs", "--nrhs", "3",
+            ]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "freivalds" in r.stdout  # matrix-free validation path
+        assert "PASS" in r.stdout
+        assert "SOLVE PASS" in r.stdout
+
+    def test_driver_packed_nonpure_exact_residual(self):
+        """Non-plgsy input falls back to unpack + the exact dense
+        residual; --solve inverse exercises the packed potri path."""
+        r = _run(
+            [
+                sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+                "--n", "384", "--nb", "128", "--dtype", "d", "--x64",
+                "--platform", "cpu", "--mode", "packed",
+                "--gen", "gershgorin", "--solve", "inverse",
+            ]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "||A - LL^T||_inf / ||A||_inf" in r.stdout
+        assert "SOLVE PASS" in r.stdout
+
+    def test_driver_packed_rejects_uplo_u(self):
+        r = _run(
+            [
+                sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+                "--n", "256", "--nb", "128", "--dtype", "d", "--x64",
+                "--platform", "cpu", "--mode", "packed", "--uplo", "U",
+            ]
+        )
+        assert r.returncode == 2
