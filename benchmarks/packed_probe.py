@@ -263,6 +263,25 @@ def main():
     if "F" in PHASES:
         frontier(106496, 4096, "default", do_potri=False,
                  dtype=jnp.bfloat16)
+    if "G" in PHASES:
+        # stretch rows — expected to sit right at the HBM edge; a clean
+        # OOM row is the frontier evidence (campaign convention)
+        try:
+            frontier(114688, 4096, "default", do_potri=False,
+                     dtype=jnp.bfloat16)
+        except Exception as e:  # noqa: BLE001 — record the OOM frontier
+            log(f"[stretch G] FAILED: {type(e).__name__}: {str(e)[:300]}")
+            emit({"path": "potrf_packed", "n": 114688, "tb": 4096,
+                  "dtype": "bfloat16", "rc": 1,
+                  "error": str(e)[:200]})
+    if "H" in PHASES:
+        try:
+            frontier(86016, 4096, "default", do_potri=False)
+        except Exception as e:  # noqa: BLE001
+            log(f"[stretch H] FAILED: {type(e).__name__}: {str(e)[:300]}")
+            emit({"path": "potrf_packed", "n": 86016, "tb": 4096,
+                  "dtype": "float32", "rc": 1,
+                  "error": str(e)[:200]})
     log("done")
 
 

@@ -328,10 +328,18 @@ def potrf_packed(
             )
             if k + 1 < nt:
                 lik = _blocktrsm_panel(lkk, colk[tb:].astype(ct), ib=ib)
-                newcol = jnp.concatenate([lkk, lik], axis=0)
+                # write diag + panel as two DUS at their row offsets —
+                # a concatenated column temp costs an extra full slab of
+                # HBM (the N=114688 bf16 OOM margin was 46 MB)
+                r0 = _row_offset(k, nt, tb)
+                out = lax.dynamic_update_slice(
+                    out, lkk.astype(out.dtype), (r0, 0)
+                )
+                out = lax.dynamic_update_slice(
+                    out, lik.astype(out.dtype), (r0 + tb, 0)
+                )
             else:
-                newcol = lkk
-            out = _set_col(out, k, newcol, n, tb)
+                out = _set_col(out, k, lkk, n, tb)
             for j in range(k + 1, nt):
                 colj = col_slab(out, j, n, tb)
                 sub = lik[(j - k - 1) * tb :]          # rows j..nt-1 of col k

@@ -154,7 +154,7 @@ def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="
     ]
     if mode in ("blocked", "shrink"):
         cmd += ["--panel", panel, "--trailing", trailing]
-    if mode in ("blocked", "shrink", "inplace"):
+    if mode in ("blocked", "shrink", "inplace", "packed"):
         cmd += ["--diag", diag]
         if precision:
             cmd += ["--precision", precision]
