@@ -326,20 +326,22 @@ def potrf_packed(
             lkk = jnp.tril(
                 _chol_tile(colk[:tb].astype(ct), diag_factor, ib=ib)
             )
+            # NOTE on the exact update form (measured, do not "optimize"
+            # blindly): this concat + slice-copy-GEMM-DUS structure is
+            # what XLA compiles into an in-place program over the donated
+            # buffer (f32 N=65536/73728/81920 all ran on chip). Two
+            # attempted memory reductions REGRESSED it to a 17.09 GiB
+            # compile-time OOM at f32 N=65536: (a) splitting the column
+            # write into separate diag+panel DUS, and (b) replacing the
+            # colj-copy trailing update with `.at[rows].add(-prod)` —
+            # both break the donation-aliasing chain the scheduler finds
+            # for this form (docs/ROADMAP.md negative results).
             if k + 1 < nt:
                 lik = _blocktrsm_panel(lkk, colk[tb:].astype(ct), ib=ib)
-                # write diag + panel as two DUS at their row offsets —
-                # a concatenated column temp costs an extra full slab of
-                # HBM (the N=114688 bf16 OOM margin was 46 MB)
-                r0 = _row_offset(k, nt, tb)
-                out = lax.dynamic_update_slice(
-                    out, lkk.astype(out.dtype), (r0, 0)
-                )
-                out = lax.dynamic_update_slice(
-                    out, lik.astype(out.dtype), (r0 + tb, 0)
-                )
+                newcol = jnp.concatenate([lkk, lik], axis=0)
             else:
-                out = _set_col(out, k, lkk, n, tb)
+                newcol = lkk
+            out = _set_col(out, k, newcol, n, tb)
             for j in range(k + 1, nt):
                 colj = col_slab(out, j, n, tb)
                 sub = lik[(j - k - 1) * tb :]          # rows j..nt-1 of col k

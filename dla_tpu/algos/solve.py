@@ -238,6 +238,8 @@ def posv_refined_streamed(
     iters: int = 16,
     tol: float = 1e-11,
     on_iter=None,
+    solver=None,
+    n: int | None = None,
 ):
     """:func:`posv_refined_host` for N where the fp64 host matrix cannot be
     materialized (34 GB at N=65536 — beyond this VM's balloon-throttled
@@ -254,6 +256,11 @@ def posv_refined_streamed(
       l: device-resident factor of the plgsy(seed, bump) matrix (lower
         triangle meaningful), any storage dtype.
       b_host: (n,) or (n, nrhs) float64 right-hand side.
+      solver: optional jitted correction solve ``(r_f32) -> d`` replacing
+        the default ``potrs(l, r)`` — e.g. a packed-factor solve
+        (``potrs_packed``), whose buffer shape hides n (pass ``n`` too).
+      n: matrix dimension when it cannot be read off ``l.shape`` (packed
+        factors).
 
     Returns (x_f64, backward_error_f64, iters_used) — the reference's
     solve gate is err ≤ 1e-10 (``v6_test.c:87`` analogue, BASELINE
@@ -263,7 +270,8 @@ def posv_refined_streamed(
 
     from dla_tpu.runtime.staging import _aligned_empty, lib as _native
 
-    n = l.shape[-1]
+    if n is None:
+        n = l.shape[-1]
     if n % panel:
         raise ValueError(f"n={n} must be a multiple of panel={panel}")
     if bump is None:
@@ -307,13 +315,15 @@ def posv_refined_streamed(
         stream_a(_mv)
         return y
 
-    solve = jax.jit(potrs)  # l as ARGUMENT — see posv_refined_host note
+    if solver is None:
+        _ps = jax.jit(potrs)  # l as ARGUMENT — see posv_refined_host note
+        solver = lambda r32: _ps(l, r32)  # noqa: E731
     x = np.zeros_like(b64)
     r = b64.copy()
     err = np.inf
     used = 0
     for i in range(iters):
-        d = np.asarray(solve(l, jnp.asarray(r, jnp.float32)), np.float64)
+        d = np.asarray(solver(jnp.asarray(r, jnp.float32)), np.float64)
         x += d
         r = b64 - matvec(x)  # host fp64, streamed from the generator
         used = i + 1

@@ -561,9 +561,39 @@ def main(argv=None) -> int:
 
     if args.solve != "none" and cfg.mode == "packed":
         if args.solve == "refined":
-            print("[dla-potrf] --solve refined is not supported with "
-                  "--mode packed (use potrs/inverse)")
-            return 2
+            # the reference's ≤1e-10 contract from a PACKED low-precision
+            # factor: correction solves on device via potrs_packed, fp64
+            # residuals streamed from the host generator (A is never
+            # materialized anywhere — device or host)
+            if not packed_pure:
+                print("[dla-potrf] --solve refined with --mode packed "
+                      "needs the plgsy generator input")
+                return 2
+            from dla_tpu.algos.packed import potrs_packed
+            from dla_tpu.algos.solve import posv_refined_streamed
+
+            b64 = np.ones((cfg.n, args.nrhs))
+            psolve = jax.jit(
+                lambda r: potrs_packed(lp_packed, r, cfg.n, cfg.nb)
+            )
+            t0 = time.perf_counter()
+            x, serr, used = posv_refined_streamed(
+                lp_packed, b64, seed=cfg.seed, bump=bump,
+                solver=psolve, n=cfg.n,
+                panel=min(4096, cfg.nb),
+            )
+            t1 = time.perf_counter()
+            print(f"[dla-potrf] refined solve: {used} iterations, "
+                  f"{(t1 - t0) * 1e3:.1f} ms (packed low-precision "
+                  f"factor on device, fp64 residuals streamed on host)")
+            print(f"||B - A X||_inf / (||A||_inf ||X||_inf) = {serr:.2e}")
+            sgate = args.gate if args.gate is not None else 1e-10
+            if serr < sgate and np.isfinite(serr):
+                print(f"SOLVE PASS (residual < {sgate:g})")
+            else:
+                print(f"SOLVE FAIL (residual >= {sgate:g})")
+                rc = 1
+            return rc
         from dla_tpu.algos.packed import (
             potri_packed,
             potrs_packed,

@@ -416,3 +416,18 @@ class TestDriverPacked:
             ]
         )
         assert r.returncode == 2
+
+    def test_driver_packed_refined_1e10(self):
+        """BASELINE config-3 contract from a PACKED fp32 factor: device
+        correction solves via potrs_packed, fp64 residuals streamed
+        from the host generator — <=1e-10 without materializing A."""
+        r = _run(
+            [
+                sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+                "--n", "1024", "--nb", "256", "--dtype", "s",
+                "--platform", "cpu", "--mode", "packed",
+                "--solve", "refined", "--nrhs", "2",
+            ]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "SOLVE PASS (residual < 1e-10)" in r.stdout
