@@ -234,6 +234,55 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True,
     del sp
 
 
+def trailing_ab(n, tb, dtype, kb):
+    """A/B the packed trailing backends at a frontier size: the XLA
+    per-column loop (2 reads + 2 writes per trailing element per step)
+    vs the aliased single-pass Pallas kernel."""
+    from dla_tpu.algos.packed import (
+        freivalds_packed, plgsy_packed, potrf_packed,
+    )
+
+    isz = jnp.dtype(dtype).itemsize
+    gib = n * (n + tb) / 2 * isz / 2**30
+    log(f"=== trailing A/B N={n} tb={tb} dtype={jnp.dtype(dtype).name} "
+        f"kb={kb} packed={gib:.1f} GiB")
+    gen = jax.jit(lambda: plgsy_packed(n, tb, seed=7, dtype=dtype))
+    for backend in ("xla", "pallas"):
+        kw = dict(precision="default")
+        if backend == "pallas":
+            kw.update(trailing="pallas", ktb=1024, kb=kb)
+        fact = jax.jit(
+            lambda p: potrf_packed(p, n, tb, **kw), donate_argnums=0
+        )
+        times = []
+        res = None
+        for it in range(3):
+            ap = gen()
+            _ = float(ap[0, 0])
+            t0 = time.perf_counter()
+            lp = fact(ap)
+            _ = float(lp[0, 0])
+            dt_s = time.perf_counter() - t0
+            times.append(dt_s)
+            log(f"[{backend}] iter {it}: {dt_s:.2f}s = "
+                f"{n**3 / 3 / dt_s / 1e9:.0f} GF/s")
+            if it == 2:
+                res = float(jax.jit(
+                    lambda p: freivalds_packed(p, n, tb, seed=7, key=1)
+                )(lp))
+            del lp
+        t = sorted(times)[1]
+        gf = n**3 / 3 / t / 1e9
+        gate = 1e-4 if dtype == jnp.float32 else n**0.5 * 2e-4
+        log(f"[{backend}] median {t:.2f}s = {gf:.0f} GF/s, freivalds "
+            f"{res:.2e} {'PASS' if res < gate else 'FAIL'}")
+        emit({
+            "path": f"potrf_packed_trailing_{backend}", "n": n, "tb": tb,
+            "dtype": jnp.dtype(dtype).name, "kb": kb,
+            "t_s": round(t, 2), "gflops": round(gf, 1), "freivalds": res,
+        })
+
+
 def main():
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
@@ -263,6 +312,10 @@ def main():
     if "F" in PHASES:
         frontier(106496, 4096, "default", do_potri=False,
                  dtype=jnp.bfloat16)
+    if "P" in PHASES:
+        trailing_ab(65536, 4096, jnp.float32, 4096)
+    if "Q" in PHASES:
+        trailing_ab(98304, 4096, jnp.bfloat16, 4096)
     if "G" in PHASES:
         # stretch rows — expected to sit right at the HBM edge; a clean
         # OOM row is the frontier evidence (campaign convention)

@@ -300,6 +300,9 @@ def potrf_packed(
     diag_factor: str = "twolevel",
     ib: int = 512,
     precision: str | None = None,
+    trailing: str = "xla",
+    ktb: int = 1024,
+    kb: int | None = None,
 ) -> jax.Array:
     """Right-looking Cholesky **in packed space**: peak device memory ≈
     one packed triangle (n(n+tb)/2 elements) + one column slab, vs
@@ -312,7 +315,13 @@ def potrf_packed(
 
     bf16 storage upcasts slab-locally to fp32 compute, exactly like
     ``potrf_inplace`` (the O(n³) trailing dots read/write storage dtype
-    with fp32 accumulation)."""
+    with fp32 accumulation).
+
+    ``trailing="pallas"`` routes the trailing wave through the aliased
+    single-pass packed kernel (:func:`dla_tpu.kernels.pallas_tiles.
+    trailing_update_packed`, kernel tile ``ktb``, k-split ``kb``); the
+    default ``"xla"`` per-column loop reads and writes every trailing
+    element twice per step (slice → GEMM → DUS)."""
     from dla_tpu.algos.potrf import _blocktrsm_panel, _chol_tile
     from dla_tpu.utils import precision as _precision
 
@@ -342,6 +351,17 @@ def potrf_packed(
             else:
                 newcol = lkk
             out = _set_col(out, k, newcol, n, tb)
+            if trailing == "pallas" and k + 1 < nt:
+                from dla_tpu.kernels.pallas_tiles import (
+                    trailing_update_packed,
+                )
+
+                out = trailing_update_packed(
+                    out, lik.astype(out.dtype), n=n, w=tb, k=k,
+                    tb=min(ktb, tb), kb=kb,
+                    vmem_limit_bytes=100 * 2**20,
+                )
+                continue
             for j in range(k + 1, nt):
                 colj = col_slab(out, j, n, tb)
                 sub = lik[(j - k - 1) * tb :]          # rows j..nt-1 of col k

@@ -505,3 +505,122 @@ def panel_apply(
         interpret=interpret,
         **kw,
     )(b, lkk, dinv)
+
+
+# ---------------------------------------------------------------------------
+# Trailing update over PACKED column-slab storage (algos/packed.py layout)
+# ---------------------------------------------------------------------------
+
+
+def _trailing_packed_kernel(ci_ref, cc_ref, pi_ref, pj_ref,
+                            c_ref, a_ref, b_ref, out_ref):
+    del ci_ref, cc_ref, pi_ref, pj_ref  # consumed by the index maps
+    ks = pl.program_id(1)
+    upd = _dot_nt(a_ref[:], b_ref[:]).astype(c_ref.dtype)
+
+    @pl.when(ks == 0)
+    def _():
+        out_ref[:] = c_ref[:] - upd
+
+    @pl.when(ks > 0)
+    def _():
+        out_ref[:] = out_ref[:] - upd
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_pairs(n: int, w: int, k: int, tb: int):
+    """Block-coordinate tables for the trailing tiles of packed step k.
+
+    Global trailing tiles (gi >= gj, both past panel k) are mapped to
+    their (row_block, col_block) position inside the 2-D packed
+    ``(rows, w)`` buffer: column slab j of the packed triangle starts at
+    element row w*(j*ntc - j*(j-1)/2) and holds global rows j*w..n.
+    """
+    ntc = n // w
+    wt = w // tb
+    trail0 = (k + 1) * wt  # first trailing tile, global tb units
+    ntt = (n - (k + 1) * w) // tb
+    ci, cc, pi, pj = [], [], [], []
+    for tj in range(ntt):
+        for ti in range(tj, ntt):
+            g_row, g_col = trail0 + ti, trail0 + tj
+            j = g_col // wt  # owning column slab
+            roff_blocks = (j * ntc - j * (j - 1) // 2) * wt
+            ci.append(roff_blocks + (g_row - j * wt))
+            cc.append(g_col % wt)
+            pi.append(ti)
+            pj.append(tj)
+    mk = lambda a: np.asarray(a, np.int32)  # noqa: E731
+    return mk(ci), mk(cc), mk(pi), mk(pj)
+
+
+def trailing_update_packed(
+    packed: jax.Array,
+    p: jax.Array,
+    *,
+    n: int,
+    w: int,
+    k: int,
+    tb: int = 1024,
+    kb: int | None = None,
+    interpret: bool | None = None,
+    vmem_limit_bytes: int | None = None,
+) -> jax.Array:
+    """packed[trailing tiles] ← packed − P·P^T over the column-slab
+    packed lower triangle (``dla_tpu.algos.packed`` layout), in place
+    (input/output aliased) — the packed analogue of
+    :func:`trailing_update_lower`. The XLA per-column update loop reads
+    and writes every trailing element twice per panel step
+    (slice-copy → GEMM → DUS); this kernel is the single-pass in-place
+    version, which matters precisely at the > dense-frontier sizes the
+    packed formulation exists for (HBM-bound default/bf16 tiers).
+
+    ``w`` is the packed column-slab width (the formulation's NB);
+    ``k`` the current panel index in slab units; ``p`` the solved panel
+    of the trailing rows ((n-(k+1)·w, w), storage dtype).
+    """
+    if n % w or w % tb:
+        raise ValueError(f"need n % w == 0 and w % tb == 0 (n={n}, w={w}, tb={tb})")
+    if p.shape != (n - (k + 1) * w, w):
+        raise ValueError(f"panel shape {p.shape} != {(n - (k + 1) * w, w)}")
+    interpret = _interpret() if interpret is None else interpret
+    ci, cc, pi, pj = _packed_pairs(n, w, k, tb)
+    npairs = len(ci)
+    if kb is None:
+        kb = min(w, 512)
+    if w % kb:
+        raise ValueError(f"panel width {w} must be a multiple of kb={kb}")
+    nk = w // kb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(npairs, nk),
+        in_specs=[
+            pl.BlockSpec((tb, tb), lambda g, ks, ci, cc, pi, pj: (ci[g], cc[g])),
+            pl.BlockSpec((tb, kb), lambda g, ks, ci, cc, pi, pj: (pi[g], ks)),
+            pl.BlockSpec((tb, kb), lambda g, ks, ci, cc, pi, pj: (pj[g], ks)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, tb), lambda g, ks, ci, cc, pi, pj: (ci[g], cc[g])
+        ),
+    )
+    flops = 2 * npairs * tb * tb * w
+    kw = {"input_output_aliases": {4: 0}}
+    if vmem_limit_bytes is not None:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        )
+    return pl.pallas_call(
+        _trailing_packed_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(npairs * tb * tb * packed.dtype.itemsize * 2
+                               + p.size * p.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **kw,
+    )(jnp.asarray(ci), jnp.asarray(cc), jnp.asarray(pi), jnp.asarray(pj),
+      packed, p, p)

@@ -250,3 +250,30 @@ class TestPackedAux:
         # a corrupted factor must fail the gate
         bad = lp.at[100, 10].add(1.0)
         assert float(freivalds_packed(bad, n, tb)) > 1e-8
+
+
+class TestPackedPallasTrailing:
+    def test_pallas_trailing_matches_xla(self):
+        from dla_tpu.algos.packed import plgsy_packed, potrf_packed
+
+        n, tb = 768, 256
+        ap = plgsy_packed(n, tb, dtype=jnp.float64)
+        ref = np.asarray(
+            unpack_tri(potrf_packed(ap, n, tb), n, tb)
+        )
+        got = np.asarray(unpack_tri(
+            potrf_packed(ap, n, tb, trailing="pallas", ktb=128, kb=128),
+            n, tb,
+        ))
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+    def test_pallas_trailing_bf16(self):
+        from dla_tpu.algos.packed import (
+            freivalds_packed, plgsy_packed, potrf_packed,
+        )
+
+        n, tb = 512, 128
+        ap = plgsy_packed(n, tb, dtype=jnp.bfloat16)
+        lp = potrf_packed(ap, n, tb, trailing="pallas", ktb=128)
+        r = float(freivalds_packed(lp, n, tb))
+        assert r < n**0.5 * 2e-4, r
