@@ -166,7 +166,7 @@ def phase_a():
 
 
 def frontier(n, tb, precision, do_potri=True, do_serve=True,
-             dtype=jnp.float32):
+             dtype=jnp.float32, trailing="xla"):
     from dla_tpu.algos.packed import (
         freivalds_packed, plgsy_packed, potrf_packed, potri_packed,
         solve_inverse_packed,
@@ -175,14 +175,18 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True,
     isz = jnp.dtype(dtype).itemsize
     gib = n * (n + tb) / 2 * isz / 2**30
     log(f"=== frontier N={n} tb={tb} precision={precision} "
-        f"dtype={jnp.dtype(dtype).name} packed={gib:.1f} GiB")
+        f"dtype={jnp.dtype(dtype).name} trailing={trailing} "
+        f"packed={gib:.1f} GiB")
     gen = jax.jit(lambda: plgsy_packed(n, tb, seed=7, dtype=dtype))
     t0 = time.perf_counter()
     ap = gen()
     _ = float(ap[0, 0])
     log(f"gen: {time.perf_counter() - t0:.1f}s (incl compile)")
+    fkw = dict(precision=precision)
+    if trailing == "pallas":
+        fkw.update(trailing="pallas", ktb=1024, kb=tb)
     fact = jax.jit(
-        lambda p: potrf_packed(p, n, tb, precision=precision),
+        lambda p: potrf_packed(p, n, tb, **fkw),
         donate_argnums=0,
     )
     t0 = time.perf_counter()
@@ -209,7 +213,7 @@ def frontier(n, tb, precision, do_potri=True, do_serve=True,
     emit({
         "path": "potrf_packed", "n": n, "tb": tb,
         "precision": precision, "dtype": jnp.dtype(dtype).name,
-        "t_s": round(t_fact, 2),
+        "trailing": trailing, "t_s": round(t_fact, 2),
         "gflops": round(gf, 1), "freivalds": res,
         "packed_gib": round(gib, 2),
     })
@@ -316,6 +320,36 @@ def main():
         trailing_ab(65536, 4096, jnp.float32, 4096)
     if "Q" in PHASES:
         trailing_ab(98304, 4096, jnp.bfloat16, 4096)
+    # pallas-trailing frontier reruns (the A/B covered 65536f32/98304bf16)
+    if "R" in PHASES:
+        frontier(73728, 4096, "default", do_potri=False,
+                 trailing="pallas")
+        frontier(81920, 4096, "default", do_potri=False,
+                 trailing="pallas")
+    if "S" in PHASES:
+        frontier(106496, 4096, "default", do_potri=False,
+                 dtype=jnp.bfloat16, trailing="pallas")
+    # stretch retries: the XLA per-column program crashed the remote
+    # compile helper at these sizes (STATUS_r3 session 10); the pallas
+    # path is one kernel per step — a far smaller program
+    if "T" in PHASES:
+        try:
+            frontier(86016, 4096, "default", do_potri=False,
+                     trailing="pallas")
+        except Exception as e:  # noqa: BLE001
+            log(f"[stretch T] FAILED: {type(e).__name__}: {str(e)[:300]}")
+            emit({"path": "potrf_packed", "n": 86016, "tb": 4096,
+                  "dtype": "float32", "trailing": "pallas", "rc": 1,
+                  "error": str(e)[:200]})
+    if "U" in PHASES:
+        try:
+            frontier(114688, 4096, "default", do_potri=False,
+                     dtype=jnp.bfloat16, trailing="pallas")
+        except Exception as e:  # noqa: BLE001
+            log(f"[stretch U] FAILED: {type(e).__name__}: {str(e)[:300]}")
+            emit({"path": "potrf_packed", "n": 114688, "tb": 4096,
+                  "dtype": "bfloat16", "trailing": "pallas", "rc": 1,
+                  "error": str(e)[:200]})
     if "G" in PHASES:
         # stretch rows — expected to sit right at the HBM edge; a clean
         # OOM row is the frontier evidence (campaign convention)

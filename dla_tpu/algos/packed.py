@@ -326,6 +326,11 @@ def potrf_packed(
     from dla_tpu.utils import precision as _precision
 
     _check(n, tb)
+    if trailing == "pallas" and jnp.iscomplexobj(ap):
+        raise ValueError(
+            "trailing='pallas' supports real dtypes only (the kernel "
+            "computes P·Pᵀ, not P·Pᴴ); use the default trailing='xla'"
+        )
     nt = n // tb
     ct = _ctype(ap.dtype)
     with _precision.override(precision):

@@ -71,7 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--trailing", choices=["xla", "pallas"], default="xla",
-        help="trailing-update backend (blocked/shrink modes)",
+        help="trailing-update backend (blocked/shrink/packed modes; "
+        "packed+pallas is the aliased single-pass kernel, 1.9x f32 "
+        "on chip at N=65536 — real dtypes only)",
     )
     ap.add_argument(
         "--diag", choices=["lax", "unblocked", "twolevel"], default="lax",
@@ -308,9 +310,11 @@ def main(argv=None) -> int:
         if cfg.uplo != "L":
             print("[dla-potrf] --mode packed supports uplo L only")
             return 2
-        kw = {"diag_factor": args.diag}
+        kw = {"diag_factor": args.diag, "trailing": args.trailing}
         if args.precision:
             kw["precision"] = args.precision
+        if args.trailing == "pallas" and args.kb:
+            kw["kb"] = args.kb
         if packed_pure:
             fact = jax.jit(
                 lambda p: potrf_packed(p, cfg.n, cfg.nb, **kw),

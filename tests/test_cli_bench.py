@@ -392,6 +392,22 @@ class TestDriverPacked:
         assert "PASS" in r.stdout
         assert "SOLVE PASS" in r.stdout
 
+    def test_driver_packed_pallas_trailing(self):
+        """--mode packed --trailing pallas: the aliased single-pass
+        trailing kernel (interpret mode off-TPU) through the driver,
+        same matrix-free Freivalds gate."""
+        r = _run(
+            [
+                sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+                "--n", "512", "--nb", "128", "--dtype", "d", "--x64",
+                "--platform", "cpu", "--mode", "packed",
+                "--trailing", "pallas", "--kb", "128",
+            ]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "freivalds" in r.stdout
+        assert "PASS" in r.stdout
+
     def test_driver_packed_nonpure_exact_residual(self):
         """Non-plgsy input falls back to unpack + the exact dense
         residual; --solve inverse exercises the packed potri path."""
