@@ -116,10 +116,17 @@ def main():
     # N=81920 probe measured LOWER, 160.2 — the bf16 curve is flat past
     # the north-star size, probe_frontier2.log). `highest` stays at the
     # r1/r2-comparable N=32768 shrink config.
+    # The default/bf16 tier entries carry the packed formulation at its
+    # frontier N (triangle-only storage + the aliased Pallas trailing
+    # kernel): the r3 on-chip probes measured packed ABOVE the dense
+    # inplace entries at both HBM-bound tiers — f32 154.5 TF/s @81920
+    # (dense: 150.8 @57344), bf16 172.2 @106496 (dense: 164.1 @65536) —
+    # results_r3/packed_probe.jsonl. Dense inplace rows remain in the
+    # campaign CSVs (sweep_kb.csv) for formulation A/Bs.
     tiers = os.environ.get(
         "BENCH_PRECISIONS",
-        "high:inplace:1024:1024:61440,default:inplace:4096:4096:57344,"
-        "highest,bf16:inplace:4096:4096:65536",
+        "high:inplace:1024:1024:61440,default:packed:4096:4096:81920,"
+        "highest,bf16:packed:4096:4096:106496",
     ).split(",")
     # 480 s fit the old all-at-N=32768 list; the per-tier frontier sizes
     # legitimately cost more device time (N=61440 high ≈ 1.32 s/factor ×
@@ -407,6 +414,111 @@ def main():
             out["chain"] = chain
         return out
 
+    def run_tier_packed(prec: str, *, storage: str = "float32",
+                        nb: int = 4096, kb: int | None = None,
+                        n: int = 73728):
+        """One packed-formulation tier: triangle-only storage
+        (``algos/packed.py``, resident ≈ n(n+tb)/2 elements) with the
+        aliased single-pass Pallas trailing kernel. Half the resident
+        HBM of the dense formulations buys both a ~1.33× larger in-core
+        N per dtype AND more throughput at the HBM-bound tiers (the r3
+        on-chip A/B: f32 N=65536 77.0 → 147.4 TF/s vs the XLA
+        per-column loop; results_r3/packed_probe.jsonl). Validation is
+        the matrix-free streamed Freivalds gate — the same contract as
+        the driver's in-core-frontier and out-of-core paths (A and a
+        dense L cannot co-reside at packed-frontier sizes)."""
+        from dla_tpu.algos.packed import (
+            freivalds_packed, plgsy_packed, potrf_packed,
+        )
+
+        dt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
+        tag = ("bf16/" if dt == jnp.bfloat16 else "") + prec + "/packed"
+        tag += f"@{n}"
+        tbp = nb
+        kbk = kb or tbp
+
+        def genf(s):
+            # the [0,0] perturbation makes each link genuinely depend on
+            # the previous factor's scalar (chain convention), same as
+            # the dense path's s·1e-9 diagonal bump
+            p = plgsy_packed(n, tbp, seed=51, dtype=dt)
+            return p.at[0, 0].add((s * 1e-9).astype(dt))
+
+        gen = jax.jit(genf)
+
+        def step(p):
+            return potrf_packed(
+                p, n, tbp, precision=prec, trailing="pallas",
+                ktb=1024, kb=kbk, diag_factor=diag_for(prec), ib=ib,
+            )
+
+        fn = jax.jit(step, donate_argnums=0)
+        a = gen(jnp.float32(0.0))
+        _ = float(a[0, 0])
+        t0 = time.perf_counter()
+        l = fn(a)
+        _ = float(l[0, 0])
+        compile_s = time.perf_counter() - t0
+        log(f"[{tag}] compile+first run: {compile_s:.1f}s")
+        times = []
+        for i in range(iters):
+            l = None
+            a = gen(jnp.float32((i + 1) * 1e-3))
+            _ = float(a[0, 0])
+            t0 = time.perf_counter()
+            l = fn(a)
+            _ = float(l[0, 0])
+            t1 = time.perf_counter()
+            times.append(t1 - t0)
+            log(f"[{tag}] iter {i}: {t1 - t0:.4f}s -> "
+                f"{(n**3 / 3) / (t1 - t0) / 1e9:.1f} GFLOP/s")
+        t = sorted(times)[len(times) // 2]
+        gflops_raw = (n**3 / 3) / t / 1e9
+        res = float(jax.jit(
+            lambda p: freivalds_packed(p, n, tbp, seed=51, key=1)
+        )(l))
+        l = None
+        a = None
+        log(f"[{tag}] freivalds validation (matrix-free)")
+
+        gflops = gflops_raw
+        chain = None
+        if chain_k:
+            cf = jax.jit(
+                lambda s: step(genf(s))[0, 0].astype(jnp.float32))
+            cg = jax.jit(lambda s: genf(s)[0, 0].astype(jnp.float32))
+            s0 = jnp.float32(0.0)
+            _ = float(cf(s0)); _ = float(cg(s0))
+            t0 = time.perf_counter()
+            s = s0
+            for _i in range(chain_k):
+                s = cf(s)
+            _ = float(s)
+            t_f = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s = s0
+            for _i in range(chain_k):
+                s = cg(s)
+            _ = float(s)
+            t_g = time.perf_counter() - t0
+            per = (t_f - t_g) / chain_k
+            chain = {
+                "k": chain_k, "factor_chain_s": round(t_f, 4),
+                "gen_chain_s": round(t_g, 4), "per_factor_s": round(per, 4),
+            }
+            gflops = (n**3 / 3) / per / 1e9
+            log(f"[{tag}] chained x{chain_k}: {per:.4f}s/factor -> "
+                f"{gflops:.1f} GFLOP/s (gen {t_g / chain_k:.4f}s)")
+
+        log(f"[{tag}] Performance: {gflops:.2f} Gflop/s")
+        log(f"[{tag}] freivalds ||(A-LL^T)x||/(||A|| ||x||) = {res:.2e}")
+        out = {"gflops": round(gflops, 1), "gflops_raw": round(gflops_raw, 1),
+               "residual": res, "compile_s": round(compile_s, 1),
+               "validation": "freivalds"}
+        if chain:
+            out["chain"] = chain
+        return out
+
     results: dict[str, dict] = {}
     for i, spec in enumerate(tiers):
         # spec grammar: `precision[:formulation[:nb[:kb[:n]]]]`; precision
@@ -431,8 +543,12 @@ def main():
         key = f"{prec}_{form}" if form != "shrink" else prec
         if storage == "bfloat16":
             key = f"bf16_{key}"
-        results[key] = run_tier(prec, storage=storage, formulation=form,
-                                nb=nb_t, kb=kb_t, n=n_t)
+        if form == "packed":
+            results[key] = run_tier_packed(prec, storage=storage,
+                                           nb=nb_t, kb=kb_t, n=n_t)
+        else:
+            results[key] = run_tier(prec, storage=storage, formulation=form,
+                                    nb=nb_t, kb=kb_t, n=n_t)
         results[key]["nb"] = nb_t
         results[key]["n"] = n_t
         if kb_t != kb:
@@ -469,7 +585,9 @@ def main():
         "tiers": {
             p: {"gflops": r["gflops"], "gflops_raw": r.get("gflops_raw"),
                 "residual": r["residual"], "nb": r.get("nb", nb),
-                "n": r.get("n", n)}
+                "n": r.get("n", n),
+                **({"validation": r["validation"]}
+                   if "validation" in r else {})}
             for p, r in results.items()
         },
         "config": {"panel": panel, "trailing": trailing, "tb": tb, "kb": kb,

@@ -40,14 +40,18 @@ def test_bench_contract_tiny(monkeypatch):
         BENCH_N="512", BENCH_NB="128", BENCH_ITERS="1", BENCH_CHAIN="2",
         BENCH_TB="128", BENCH_KB="128", BENCH_IB="128",
         BENCH_PRECISIONS="high:inplace:128:128:512,"
-                         "bf16:inplace:128:128:256,highest",
+                         "bf16:inplace:128:128:256,highest,"
+                         "default:packed:128:128:512",
     )
     # one-JSON-line contract fields
     assert out["unit"] == "GFLOP/s"
     assert out["value"] > 0 and out["vs_baseline"] > 0
     assert "N=512" in out["metric"] and "high_inplace" in out["metric"]
     tiers = out["tiers"]
-    assert set(tiers) == {"high_inplace", "bf16_default_inplace", "highest"}
+    assert set(tiers) == {"high_inplace", "bf16_default_inplace",
+                          "highest", "default_packed"}
+    # the packed tier validates matrix-free (Freivalds gate, fp32 scale)
+    assert tiers["default_packed"]["residual"] < 1e-5
     # per-tier N threads through the spec grammar into the artifact
     assert tiers["bf16_default_inplace"]["n"] == 256
     assert tiers["highest"]["n"] == 512
