@@ -287,6 +287,56 @@ def trailing_ab(n, tb, dtype, kb):
         })
 
 
+def ktb_sweep(n, tb, dtype, ktbs, vmem_mb=100):
+    """Kernel-tile (ktb) sensitivity of the pallas packed trailing at a
+    frontier size — the dense trailing study found tb=1024 optimal for
+    f32 (2048 fails Mosaic VMEM at 100 MB) and bf16 tb=2048 compiles
+    but loses ~10% (STATUS_r3 session 2); check whether that transfers
+    to the packed kernel's block-coordinate grid."""
+    from dla_tpu.algos.packed import (
+        freivalds_packed, plgsy_packed, potrf_packed,
+    )
+
+    gen = jax.jit(lambda: plgsy_packed(n, tb, seed=7, dtype=dtype))
+    for ktb in ktbs:
+        log(f"=== ktb sweep N={n} tb={tb} dtype={jnp.dtype(dtype).name} "
+            f"ktb={ktb}")
+        try:
+            fact = jax.jit(
+                lambda p, _k=ktb: potrf_packed(
+                    p, n, tb, precision="default", trailing="pallas",
+                    ktb=_k, kb=tb),
+                donate_argnums=0,
+            )
+            times = []
+            res = None
+            for it in range(3):
+                ap = gen()
+                _ = float(ap[0, 0])
+                t0 = time.perf_counter()
+                lp = fact(ap)
+                _ = float(lp[0, 0])
+                times.append(time.perf_counter() - t0)
+                if it == 2:
+                    res = float(jax.jit(
+                        lambda p: freivalds_packed(p, n, tb, seed=7, key=1)
+                    )(lp))
+                del lp
+            t = sorted(times)[1]
+            gf = n**3 / 3 / t / 1e9
+            log(f"[ktb={ktb}] median {t:.2f}s = {gf:.0f} GF/s, "
+                f"freivalds {res:.2e}")
+            emit({"path": "potrf_packed_ktb", "n": n, "tb": tb,
+                  "dtype": jnp.dtype(dtype).name, "ktb": ktb,
+                  "t_s": round(t, 2), "gflops": round(gf, 1),
+                  "freivalds": res})
+        except Exception as e:  # noqa: BLE001 — record VMEM/compile fails
+            log(f"[ktb={ktb}] FAILED: {type(e).__name__}: {str(e)[:200]}")
+            emit({"path": "potrf_packed_ktb", "n": n, "tb": tb,
+                  "dtype": jnp.dtype(dtype).name, "ktb": ktb, "rc": 1,
+                  "error": str(e)[:160]})
+
+
 def main():
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
@@ -316,6 +366,10 @@ def main():
     if "F" in PHASES:
         frontier(106496, 4096, "default", do_potri=False,
                  dtype=jnp.bfloat16)
+    if "V" in PHASES:
+        ktb_sweep(65536, 4096, jnp.float32, (512, 2048))
+    if "W" in PHASES:
+        ktb_sweep(98304, 4096, jnp.bfloat16, (2048,))
     if "P" in PHASES:
         trailing_ab(65536, 4096, jnp.float32, 4096)
     if "Q" in PHASES:

@@ -154,11 +154,13 @@ def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="
     ]
     if mode in ("blocked", "shrink"):
         cmd += ["--panel", panel, "--trailing", trailing]
+    if mode == "packed" and trailing != "xla":
+        cmd += ["--trailing", trailing]
     if mode in ("blocked", "shrink", "inplace", "packed"):
         cmd += ["--diag", diag]
         if precision:
             cmd += ["--precision", precision]
-    if kb and mode in ("shrink", "inplace"):
+    if kb and mode in ("shrink", "inplace", "packed"):
         cmd += ["--kb", str(kb)]
     if mode == "distributed":
         cmd += ["--p", str(mesh[0]), "--q", str(mesh[1])]
