@@ -11,6 +11,12 @@ from dla_tpu.parallel.column_cyclic import (  # noqa: F401
     potrf_column_cyclic_ring,
     to_dense_cols,
 )
+from dla_tpu.parallel.packed_cyclic import (  # noqa: F401
+    pack_cols_packed,
+    potrf_packed_cyclic,
+    resident_elems,
+    unpack_cols_packed,
+)
 from dla_tpu.parallel.model import (  # noqa: F401
     CHIPS,
     crossover_n,

@@ -1,0 +1,72 @@
+"""Packed column-cyclic distributed POTRF (parallel/packed_cyclic.py):
+triangle-only storage × the flat-mesh Pallas-ring data plane — per-device
+resident ≈ n²/(2·D) vs the dense column-cyclic path's n²/D."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dla_tpu.ops import plgsy
+from dla_tpu.parallel import (
+    make_flat_mesh,
+    pack_cols_packed,
+    potrf_packed_cyclic,
+    resident_elems,
+    unpack_cols_packed,
+)
+
+
+class TestPackedCyclic:
+    @pytest.mark.parametrize("n,nb,ndev", [(768, 32, 8), (256, 16, 4)])
+    def test_matches_lapack_fp64(self, n, nb, ndev):
+        import scipy.linalg
+
+        mesh = make_flat_mesh(ndev)
+        a = plgsy(n, seed=51, dtype=jnp.float64)
+        x = pack_cols_packed(np.asarray(a), nb, mesh)
+        lx = potrf_packed_cyclic(x, n, nb, mesh)
+        l = unpack_cols_packed(lx, n, nb, mesh)
+        ref = scipy.linalg.cholesky(np.asarray(a), lower=True)
+        np.testing.assert_allclose(l, ref, rtol=1e-9, atol=1e-12)
+
+    def test_gate_1e10(self):
+        from dla_tpu.validate import residual_potrf
+
+        n, nb, ndev = 512, 16, 8
+        mesh = make_flat_mesh(ndev)
+        a = plgsy(n, seed=7, dtype=jnp.float64)
+        x = pack_cols_packed(np.asarray(a), nb, mesh)
+        lx = potrf_packed_cyclic(x, n, nb, mesh)
+        l = jnp.asarray(unpack_cols_packed(lx, n, nb, mesh))
+        res = float(residual_potrf(a, l))
+        assert res < 1e-10, res
+
+    def test_pack_unpack_roundtrip(self):
+        n, nb, ndev = 256, 16, 8
+        mesh = make_flat_mesh(ndev)
+        a = np.tril(np.asarray(plgsy(n, seed=3, dtype=jnp.float64)))
+        x = pack_cols_packed(a, nb, mesh)
+        back = unpack_cols_packed(x, n, nb, mesh)
+        np.testing.assert_array_equal(back, a)
+
+    def test_resident_memory_halved(self):
+        # the packed shard is ~(0.5 + 1/(2·ltc)) of the dense column shard
+        for n, nb, ndev in [(4096, 64, 8), (8192, 128, 4)]:
+            packed, dense = resident_elems(n, nb, ndev)
+            ltc = (n // nb) // ndev
+            expect = 0.5 + 1 / (2 * ltc)
+            assert abs(packed / dense - expect) < 1e-9
+
+    def test_rejects_bad_geometry(self):
+        mesh = make_flat_mesh(8)
+        a = np.eye(256)
+        with pytest.raises(ValueError, match="multiple of mesh"):
+            potrf_packed_cyclic(jnp.zeros((8, 64)), 256, 64, mesh)  # nt=4
+        with pytest.raises(ValueError, match="pack_cols_packed"):
+            potrf_packed_cyclic(
+                jnp.zeros((8, 16)), 256, 16, mesh)
+        # ltc=1 edge case (one slab per device) works
+        x = pack_cols_packed(a, 32, mesh)  # nt=8, D=8
+        lx = potrf_packed_cyclic(x, 256, 32, mesh)
+        l = unpack_cols_packed(lx, 256, 32, mesh)
+        np.testing.assert_allclose(l, np.eye(256), atol=1e-12)
