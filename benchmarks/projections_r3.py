@@ -88,6 +88,50 @@ def oocore():
     print(f"wrote {out}")
 
 
+def packed():
+    """Packed × multi-chip projection artifact (ROADMAP r4 2b, model half):
+    the flat-mesh packed column-cyclic data plane
+    (parallel/packed_cyclic.py) projected onto meshes this environment
+    does not have. nb is fixed at 4096 — the MEASURED packed single-chip
+    frontier NB (STATUS_r3 session 10/11); the model's per-device rate
+    term is the measured tier curve and is nb-independent, so smaller-nb
+    rows would double-count the envelope-overhead saving without paying
+    the (unmeasured) narrower-GEMM cost."""
+    from dla_tpu.parallel.model import packed_crossover, packed_mesh_max_n
+
+    out = os.path.join(REPO, "benchmarks", "results_r3",
+                       "packed_projection.json")
+    art = {"memory_unlock": [], "crossovers": []}
+    for itemsize in (4, 2):
+        for ndev in (1, 2, 4, 8, 16):
+            m = packed_mesh_max_n(ndev, itemsize=itemsize)
+            art["memory_unlock"].append(m)
+            print({k: m[k] for k in
+                   ("ndev", "itemsize", "max_n_packed", "max_n_dense")})
+    for tier, itemsize in (("default", 4), ("bf16", 2)):
+        for ndev in (2, 4, 8):
+            c = packed_crossover(ndev, tier=tier, itemsize=itemsize)
+            am = c["at_mesh_max"]
+            art["crossovers"].append({
+                "ndev": ndev, "tier": tier, "nb": c["nb"],
+                "itemsize": itemsize,
+                "crossover_n": c["crossover_n"],
+                "n_eff50": c["n_eff50"],
+                "n_eff70": c["n_eff70"],
+                "mesh_max_n": c["mesh_max_n"],
+                "gflops_at_mesh_max": round(am["dist_gflops"], 1),
+                "speedup_at_mesh_max": round(am["speedup"], 3),
+                "comm_fraction_at_mesh_max": round(am["comm_fraction"], 3),
+                "flop_ratio_at_mesh_max": round(am["flop_ratio"], 3),
+                "single_chip_fits_at_mesh_max": am["single_chip_fits"],
+            })
+            print(art["crossovers"][-1])
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     main()
     oocore()
+    packed()

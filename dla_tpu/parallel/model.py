@@ -66,6 +66,11 @@ class ChipSpec:
     latency_us: float
     hbm_gib: float
     hbm_gbps: float = 819.0
+    # ICI link count per chip: the flat-ring data plane
+    # (kernels/collectives.ring_broadcast) streams over ONE neighbor link
+    # per hop, so its bandwidth is ici_gbps / ici_links, not the aggregate
+    # (v5e: 4 links; v5p: 6 — public spec sheets).
+    ici_links: int = 4
 
 
 # v5e compute ceilings are MEASURED on this chip (STATUS_r2 chained-GEMM
@@ -79,7 +84,7 @@ CHIPS = {
     "v5p": ChipSpec(
         tflops={"default": 424.0, "high": 147.0, "highest": 73.2},
         ici_gbps=600.0, link_efficiency=0.75, latency_us=2.0, hbm_gib=95.0,
-        hbm_gbps=2765.0,
+        hbm_gbps=2765.0, ici_links=6,
     ),
 }
 
@@ -106,12 +111,66 @@ SINGLE_CHIP_HIGH_GFLOPS = {
     61440: 58489.0,  # the fp32 in-core limit (15.06 GiB), probe raw median
 }
 
+# Measured single-chip curves for the HBM-bound tiers (campaign best-config
+# medians per N over sweep.csv + sweep_kb.csv, raw per-invocation
+# convention, best formulation per N — dense `inplace` up to its in-core
+# limit, `packed` beyond: the packed rows at N ≥ 65536 f32 / 98304 bf16
+# are the session-10/11 triangle-only frontier, docs/STATUS_r3.md).
+SINGLE_CHIP_DEFAULT_GFLOPS = {
+    4096: 960.0,
+    8192: 6763.0,
+    12288: 17898.0,
+    16384: 33889.0,
+    20480: 41201.0,
+    24576: 63913.0,
+    28672: 63003.0,
+    32768: 95521.0,
+    40960: 101371.0,
+    49152: 129354.0,
+    57344: 140019.0,
+    65536: 147972.0,  # packed (dense f32 no longer fits)
+    73728: 153450.0,
+    81920: 154338.0,  # packed f32 compile frontier
+}
+
+SINGLE_CHIP_BF16_GFLOPS = {
+    8192: 6781.0,
+    12288: 18774.0,
+    16384: 36013.0,
+    20480: 49507.0,
+    24576: 64799.0,
+    28672: 75479.0,
+    32768: 107084.0,
+    40960: 98549.0,
+    49152: 140074.0,
+    65536: 156466.0,
+    98304: 171147.0,   # packed
+    106496: 172036.0,  # packed bf16 compile frontier
+}
+
+# tier name → (measured v5e curve, ChipSpec.tflops ceiling key used to
+# scale the curve to other chips). "bf16" is the bf16-storage policy —
+# its MXU mode is the 1-pass default ceiling (ROADMAP negative result:
+# bf16 × high is compiler-rejected).
+SINGLE_CHIP_CURVES = {
+    "high": (SINGLE_CHIP_HIGH_GFLOPS, "high"),
+    "default": (SINGLE_CHIP_DEFAULT_GFLOPS, "default"),
+    "bf16": (SINGLE_CHIP_BF16_GFLOPS, "default"),
+}
+
 
 def single_chip_rate(n: int, chip: str = "v5e", tier: str = "high") -> float:
     """Projected single-chip POTRF GF/s at size n (measured curve on v5e,
     scaled by the chip's tier ceiling ratio elsewhere)."""
-    pts = sorted(SINGLE_CHIP_HIGH_GFLOPS.items())
-    scale = (CHIPS[chip].tflops[tier] / CHIPS["v5e"].tflops["high"])
+    # tiers without a measured curve (e.g. "highest") scale the high curve
+    # by the ceiling ratio, as the pre-packed model did
+    curve, ceil_key = SINGLE_CHIP_CURVES.get(
+        tier, (SINGLE_CHIP_HIGH_GFLOPS, "high"))
+    pts = sorted(curve.items())
+    if tier in SINGLE_CHIP_CURVES:
+        scale = CHIPS[chip].tflops[ceil_key] / CHIPS["v5e"].tflops[ceil_key]
+    else:
+        scale = CHIPS[chip].tflops[tier] / CHIPS["v5e"].tflops["high"]
     if n <= pts[0][0]:
         r = pts[0][1] * n / pts[0][0]
     elif n >= pts[-1][0]:
@@ -382,4 +441,210 @@ def project_oocore_mesh(
         "min_bw_gbps_compute_bound": min_bw_gbps,
         "panel_max_by_hbm": panel_max,
         "panel_fits_hbm": panel <= panel_max,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Packed column-cyclic projection (ROADMAP r4 candidate 2b, model half)
+# ---------------------------------------------------------------------------
+#
+# `parallel/packed_cyclic.py` combines triangle-only packed storage with the
+# flat-mesh column-cyclic distribution (Pallas ring data plane). Per-device
+# resident memory is ≈ n²/(2·D) + n·nb/2 (`packed_cyclic.resident_elems`),
+# so a D-chip mesh holds a √2× larger in-core N than the dense
+# column-cyclic path ON TOP of the packed single-chip gain — and the
+# packed formulation is also the fastest at the HBM-bound tiers
+# (session 11: f32 154.5 / bf16 172.2 TF/s single-chip). This model
+# projects that combination onto meshes this environment does not have,
+# the same way `project` does for the PxQ dense path:
+#
+# - the flop accounting below mirrors `_potrf_local_packed`'s loop
+#   EXACTLY (SPMD-executed convention: masked lanes still execute — every
+#   device runs identical shapes);
+# - the comm term counts the two per-step `ring_broadcast` operands, and
+#   is pinned to the real program in tests/test_packed_cyclic.py by
+#   tracing the data plane with a recording stub;
+# - the ring streams over ONE neighbor link per hop, so its bandwidth is
+#   ici_gbps / ici_links (NOT the aggregate the XLA-collective model
+#   uses); a pipelined broadcast to D−1 receivers costs
+#   V/link_bw + (D−1)·latency;
+# - NO lookahead overlap is credited: unlike `_potrf_local` (1-step
+#   pipelined, `potrf_dist.py:184`), the packed-cyclic program is
+#   broadcast-then-update in program order — the model charges
+#   t_fac + t_bcast + t_trail per step, honestly conservative.
+
+def packed_cyclic_accounting(n: int, nb: int, ndev: int) -> dict:
+    """Exact per-step executed flops and ring-broadcast element volumes of
+    ``packed_cyclic._potrf_local_packed`` (same geometry helpers)."""
+    nt = n // nb
+    if n % nb or nt % ndev:
+        raise ValueError("need nb | n and ndev | nt")
+    ltc = nt // ndev
+    hs = [(nt - lj * ndev) * nb for lj in range(ltc)]
+    steps = []
+    exec_total = 0.0
+    for k in range(nt):
+        ljk = k // ndev
+        chol = nb**3 / 3.0
+        solve_rows = hs[ljk] - nb
+        solve = float(solve_rows) * nb * nb
+        # two broadcasts: the nb×nb factor tile always; the solved panel
+        # except after the last step
+        bcast = nb * nb + (solve_rows * nb if k < nt - 1 else 0)
+        # trailing: every device executes 2·hs[lj]·nb² for each slab group
+        # lj that has ANY live column (lj·D + D−1 > k); dead lanes are
+        # where-masked but still executed (SPMD)
+        trail_dev = 0.0
+        if k < nt - 1:
+            for lj in range(ltc):
+                if lj * ndev + ndev - 1 <= k:
+                    continue
+                trail_dev += 2.0 * hs[lj] * nb * nb
+        steps.append({
+            "k": k, "chol": chol, "solve": solve,
+            "bcast_elems": bcast, "trail_per_dev": trail_dev,
+        })
+        exec_total += chol + solve + trail_dev * ndev
+    ideal = n**3 / 3.0
+    return {
+        "n": n, "nb": nb, "ndev": ndev, "steps": steps,
+        "executed": exec_total, "ideal": ideal,
+        "ratio": exec_total / ideal,
+        "bcast_elems_total": sum(s["bcast_elems"] for s in steps),
+    }
+
+
+def packed_resident_bytes(n: int, nb: int, ndev: int,
+                          itemsize: int = 4) -> int:
+    """Per-device resident bytes of the packed column-cyclic layout
+    (envelope-padded slabs — the exact `resident_elems` sum)."""
+    nt = n // nb
+    ltc = nt // ndev
+    return sum((nt - lj * ndev) * nb for lj in range(ltc)) * nb * itemsize
+
+
+def packed_mesh_max_n(
+    ndev: int,
+    *,
+    chip: str = "v5e",
+    nb: int = 4096,
+    itemsize: int = 4,
+    fill: float = 0.85,
+) -> dict:
+    """Largest in-core N (multiple of nb·ndev) on a D-chip flat mesh for
+    the packed column-cyclic layout vs the dense column-cyclic one.
+
+    ``fill`` reserves headroom for the broadcast panel + program
+    temporaries; fill=0.85 reproduces the measured single-chip packed
+    compile frontier (f32 81920 modeled ≈ 84k; bf16 106496 ≈ 119k —
+    the bf16 gap is the remote-compile-helper crash, a host-side bound,
+    docs/STATUS_r3.md session 10)."""
+    budget = CHIPS[chip].hbm_gib * 2**30 * fill
+    n = nb * ndev
+    best_packed = best_dense = 0
+    while True:
+        if packed_resident_bytes(n, nb, ndev, itemsize) <= budget:
+            best_packed = n
+        else:
+            break
+        n += nb * ndev
+    n = nb * ndev
+    while True:
+        dense = (n // ndev) * n * itemsize  # full local columns
+        if dense <= budget:
+            best_dense = n
+        else:
+            break
+        n += nb * ndev
+    return {
+        "ndev": ndev, "chip": chip, "nb": nb, "itemsize": itemsize,
+        "fill": fill, "max_n_packed": best_packed, "max_n_dense": best_dense,
+        "unlock_ratio": best_packed / best_dense if best_dense else None,
+    }
+
+
+def project_packed_cyclic(
+    n: int,
+    nb: int,
+    ndev: int,
+    *,
+    chip: str = "v5e",
+    tier: str = "default",
+    itemsize: int = 4,
+) -> dict:
+    """Projected wall time of the packed column-cyclic POTRF on a flat
+    D-device mesh (see the section comment for the term-by-term model).
+
+    The single-chip comparison side uses the same measured tier curve;
+    ``single_chip_fits`` reports whether N is in-core for the *packed*
+    single-chip layout (n·(n+nb)/2 elements) — beyond it the mesh is the
+    only in-core option and ``speedup`` compares against the saturated
+    curve rate, which flatters the (infeasible) single chip."""
+    spec = CHIPS[chip]
+    acc = packed_cyclic_accounting(n, nb, ndev)
+    n_local = max(1, int(n / math.sqrt(ndev)))
+    rate = single_chip_rate(n_local, chip, tier) * 1e9
+    link_bw = spec.ici_gbps / spec.ici_links * 1e9 * spec.link_efficiency
+    lat = spec.latency_us * 1e-6
+    t_fac = t_comm = t_trail = 0.0
+    for s in acc["steps"]:
+        t_fac += (s["chol"] + s["solve"]) / rate
+        t_comm += (s["bcast_elems"] * itemsize) / link_bw + 2 * (
+            (ndev - 1) * lat)
+        t_trail += s["trail_per_dev"] / rate
+    total = t_fac + t_comm + t_trail
+    ideal = n**3 / 3.0
+    t_single = ideal / (single_chip_rate(n, chip, tier) * 1e9)
+    hbm = spec.hbm_gib * 2**30
+    single_fits = n * (n + nb) / 2 * itemsize <= hbm * 0.85
+    return {
+        "n": n, "nb": nb, "ndev": ndev, "chip": chip, "tier": tier,
+        "t_dist_s": total, "t_fac_s": t_fac, "t_comm_s": t_comm,
+        "t_trail_s": t_trail,
+        "dist_gflops": ideal / total / 1e9,
+        "t_single_s": t_single,
+        "single_gflops": ideal / t_single / 1e9,
+        "speedup": t_single / total,
+        "efficiency": t_single / total / ndev,
+        "comm_fraction": t_comm / total,
+        "flop_ratio": acc["ratio"],
+        "single_chip_fits": single_fits,
+        "resident_bytes_per_dev": packed_resident_bytes(
+            n, nb, ndev, itemsize),
+    }
+
+
+def packed_crossover(
+    ndev: int,
+    *,
+    chip: str = "v5e",
+    tier: str = "default",
+    nb: int = 4096,
+    itemsize: int = 4,
+) -> dict:
+    """Scan N (multiples of nb·ndev) up to the mesh's packed in-core bound:
+    smallest N where the flat mesh beats one chip, the ≥50%/70% efficiency
+    thresholds, and the projection at the bound (the memory-unlock point —
+    the largest factorization the mesh can hold at all)."""
+    bound = packed_mesh_max_n(
+        ndev, chip=chip, nb=nb, itemsize=itemsize)["max_n_packed"]
+    first = eff50 = eff70 = None
+    rows = []
+    for n in range(nb * ndev, bound + 1, nb * ndev):
+        r = project_packed_cyclic(
+            n, nb, ndev, chip=chip, tier=tier, itemsize=itemsize)
+        rows.append(r)
+        if first is None and r["speedup"] > 1.0:
+            first = r
+        if eff50 is None and r["efficiency"] >= 0.5:
+            eff50 = n
+        if eff70 is None and r["efficiency"] >= 0.7:
+            eff70 = n
+    return {
+        "ndev": ndev, "chip": chip, "tier": tier, "nb": nb,
+        "mesh_max_n": bound,
+        "crossover_n": first["n"] if first else None,
+        "n_eff50": eff50, "n_eff70": eff70,
+        "at_mesh_max": rows[-1] if rows else None,
+        "curve": rows,
     }

@@ -205,6 +205,98 @@ class TestProjectionsArtifact:
             )
 
 
+class TestPackedCyclicModel:
+    """Gates for the packed × multi-chip projection (ROADMAP r4 2b, model
+    half). The comm term is pinned to the real data plane in
+    tests/test_packed_cyclic.py::TestCommPinnedToDataPlane."""
+
+    def test_accounting_overhead_amortizes(self):
+        """Envelope padding + dead-lane execution shrink as nt/D grows —
+        the SPMD-executed overhead is a small-grid artifact, not a tax on
+        the memory-unlock regime."""
+        from dla_tpu.parallel.model import packed_cyclic_accounting
+
+        r = [
+            packed_cyclic_accounting(n, 1024, 8)["ratio"]
+            for n in (32768, 65536, 131072, 262144)
+        ]
+        assert r[0] > r[1] > r[2] > r[3]
+        assert r[3] < 1.15
+
+    def test_memory_unlock_matches_measured_frontier(self):
+        """The D=1 packed in-core bound must cover the MEASURED single-chip
+        packed compile frontier (f32 81920; 86016 crashes the compile
+        helper — STATUS_r3 session 10/11) without absurd slack, and the
+        large-D unlock ratio must approach the √2 of the resident-memory
+        geometry."""
+        from dla_tpu.parallel.model import packed_mesh_max_n
+
+        m1 = packed_mesh_max_n(1)
+        assert 81920 <= m1["max_n_packed"] <= 98304, m1
+        assert m1["max_n_packed"] > m1["max_n_dense"]
+        m8 = packed_mesh_max_n(8)
+        assert 1.15 <= m8["max_n_packed"] / m8["max_n_dense"] <= 1.5
+
+    def test_projection_fields_sane(self):
+        from dla_tpu.parallel.model import project_packed_cyclic
+
+        r = project_packed_cyclic(131072, 4096, 8)
+        assert 0 < r["comm_fraction"] < 1
+        assert r["speedup"] > 1  # the memory-unlocked regime pays
+        assert not r["single_chip_fits"]  # f32 131072 exceeds one chip
+        assert r["resident_bytes_per_dev"] < CHIPS["v5e"].hbm_gib * 2**30
+        assert r["flop_ratio"] > 1.0
+
+    def test_measured_curves_at_knots(self):
+        """The default/bf16 tier curves return the campaign medians at
+        their knots (best formulation per N — packed past the dense
+        in-core limit)."""
+        assert single_chip_rate(32768, tier="default") == pytest.approx(
+            95521.0)
+        assert single_chip_rate(81920, tier="default") == pytest.approx(
+            154338.0)
+        assert single_chip_rate(106496, tier="bf16") == pytest.approx(
+            172036.0)
+        # "highest" has no measured curve: scales the high curve (legacy)
+        assert single_chip_rate(32768, tier="highest") == pytest.approx(
+            49437.0 * CHIPS["v5e"].tflops["highest"]
+            / CHIPS["v5e"].tflops["high"])
+
+
+class TestPackedProjectionArtifact:
+    def test_committed_artifact_matches_model(self):
+        """benchmarks/results_r3/packed_projection.json must equal what the
+        model produces today (regenerate with
+        `python benchmarks/projections_r3.py`)."""
+        import json
+        import os
+
+        from dla_tpu.parallel.model import (
+            packed_crossover,
+            packed_mesh_max_n,
+        )
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "results_r3", "packed_projection.json",
+        )
+        with open(path) as f:
+            art = json.load(f)
+        for row in art["memory_unlock"]:
+            m = packed_mesh_max_n(
+                row["ndev"], nb=row["nb"], itemsize=row["itemsize"])
+            assert m["max_n_packed"] == row["max_n_packed"], row
+            assert m["max_n_dense"] == row["max_n_dense"], row
+        for row in art["crossovers"]:
+            c = packed_crossover(
+                row["ndev"], tier=row["tier"], nb=row["nb"],
+                itemsize=row["itemsize"])
+            assert c["crossover_n"] == row["crossover_n"], row
+            assert c["mesh_max_n"] == row["mesh_max_n"]
+            assert c["at_mesh_max"]["dist_gflops"] == pytest.approx(
+                row["gflops_at_mesh_max"], rel=1e-3)
+
+
 class TestOocoreProjection:
     def test_host_model_matches_measured_n163840(self):
         """The calibrated single-host model must reproduce the measured

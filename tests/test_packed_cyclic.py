@@ -70,3 +70,39 @@ class TestPackedCyclic:
         lx = potrf_packed_cyclic(x, 256, 32, mesh)
         l = unpack_cols_packed(lx, 256, 32, mesh)
         np.testing.assert_allclose(l, np.eye(256), atol=1e-12)
+
+
+class TestCommPinnedToDataPlane:
+    def test_ring_broadcast_volumes_match_accounting(self, monkeypatch):
+        """The scaling model's comm term (packed_cyclic_accounting) must
+        match the REAL program's ring_broadcast operands exactly: trace
+        `_potrf_local_packed` with a recording stub and compare every
+        call's element count — the packed analogue of the HLO collective
+        pin in tests/test_model.py."""
+        import jax
+
+        from dla_tpu.parallel import packed_cyclic
+        from dla_tpu.parallel.model import packed_cyclic_accounting
+
+        n, nb, ndev = 384, 16, 4  # fresh (n, nb) — never jitted elsewhere
+        mesh = make_flat_mesh(ndev)
+        calls = []
+
+        def recorder(x, *args, **kwargs):
+            calls.append(int(np.prod(x.shape)))
+            return x
+
+        monkeypatch.setattr(packed_cyclic, "ring_broadcast", recorder)
+        a = np.asarray(plgsy(n, seed=11, dtype=jnp.float64))
+        x = pack_cols_packed(a, nb, mesh)
+        jax.eval_shape(
+            lambda v: packed_cyclic._potrf_jit_n(v, n, nb, mesh, None), x)
+
+        acc = packed_cyclic_accounting(n, nb, ndev)
+        expected = []
+        for s in acc["steps"]:
+            expected.append(nb * nb)  # the factor tile
+            rest = s["bcast_elems"] - nb * nb
+            if rest:
+                expected.append(rest)  # the solved envelope panel
+        assert calls == expected
