@@ -337,6 +337,63 @@ def ktb_sweep(n, tb, dtype, ktbs, vmem_mb=100):
                   "error": str(e)[:160]})
 
 
+def high_probe(n, tb, kb):
+    """Packed HIGH (bf16x3) tier at the small-NB frontier config. Campaign
+    M measured packed high only at NB=4096 kb=4096 (33.9 TF/s) — the
+    config the DENSE high tier also loses at (49.0 vs 53.7 TF/s at
+    NB=2048; STATUS_r3 kb table). The dense high frontier is NB=1024
+    kb=1024, and the high-tier rate rose monotonically with N to its
+    in-core limit 61440 (59.5 TF/s = 94.5% of ceiling) — packed f32
+    reaches N=81920, so a packed high run at the frontier NB probes
+    whether the headline extends past the dense memory bound."""
+    from dla_tpu.algos.packed import (
+        freivalds_packed, plgsy_packed, potrf_packed,
+    )
+
+    gib = n * (n + tb) / 2 * 4 / 2**30
+    log(f"=== packed HIGH probe N={n} tb={tb} kb={kb} "
+        f"packed={gib:.1f} GiB")
+    gen = jax.jit(lambda: plgsy_packed(n, tb, seed=7, dtype=jnp.float32))
+    try:
+        fact = jax.jit(
+            lambda p: potrf_packed(p, n, tb, precision="high",
+                                   trailing="pallas", ktb=1024, kb=kb),
+            donate_argnums=0,
+        )
+        times = []
+        res = None
+        for it in range(3):
+            ap = gen()
+            _ = float(ap[0, 0])
+            t0 = time.perf_counter()
+            lp = fact(ap)
+            _ = float(lp[0, 0])
+            dt_s = time.perf_counter() - t0
+            times.append(dt_s)
+            log(f"[high tb={tb}] iter {it}: {dt_s:.2f}s = "
+                f"{n**3 / 3 / dt_s / 1e9:.0f} GF/s")
+            if it == 2:
+                res = float(jax.jit(
+                    lambda p: freivalds_packed(p, n, tb, seed=7, key=1)
+                )(lp))
+            del lp
+        t = sorted(times)[1]
+        gf = n**3 / 3 / t / 1e9
+        log(f"[high N={n} tb={tb} kb={kb}] median {t:.2f}s = {gf:.0f} "
+            f"GF/s, freivalds {res:.2e} "
+            f"{'PASS' if res < 1e-4 else 'FAIL'}")
+        emit({"path": "potrf_packed_high", "n": n, "tb": tb, "kb": kb,
+              "dtype": "float32", "trailing": "pallas",
+              "t_s": round(t, 2), "gflops": round(gf, 1),
+              "freivalds": res, "packed_gib": round(gib, 2)})
+    except Exception as e:  # noqa: BLE001 — record compile/OOM frontier
+        log(f"[high N={n} tb={tb}] FAILED: {type(e).__name__}: "
+            f"{str(e)[:300]}")
+        emit({"path": "potrf_packed_high", "n": n, "tb": tb, "kb": kb,
+              "dtype": "float32", "trailing": "pallas", "rc": 1,
+              "error": str(e)[:200]})
+
+
 def main():
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
@@ -423,6 +480,14 @@ def main():
             emit({"path": "potrf_packed", "n": 86016, "tb": 4096,
                   "dtype": "float32", "rc": 1,
                   "error": str(e)[:200]})
+    # packed HIGH at the dense frontier NB (session 13: untried — campaign
+    # M's 33.9 TF/s was at NB=4096 full-K, where dense high loses too)
+    if "X" in PHASES:
+        high_probe(65536, 1024, 1024)
+    if "Y" in PHASES:
+        high_probe(81920, 1024, 1024)
+    if "Z" in PHASES:
+        high_probe(81920, 2048, 1024)
     log("done")
 
 
