@@ -119,10 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--input",
         default=None,
         metavar="PATH",
-        help="factor a user-provided matrix (.npy, or raw --dtype binary of "
-        "N*N row-major elements) instead of generating one — the "
-        "reference's '--mat user' option (v3_script_cholesky_x_arg_gpt.c:"
-        "157-175)",
+        help="factor a user-provided matrix (.npy, .npz [array 'a' or the "
+        "first array], or raw --dtype binary of N*N row-major elements) "
+        "instead of generating one — the reference's '--mat user' option "
+        "(v3_script_cholesky_x_arg_gpt.c:157-175). For .npy/.npz, N is "
+        "adopted from the file when --n is omitted; shape/finite/dtype "
+        "validation mirrors v3_…:177-196",
     )
     ap.add_argument("--no-check", action="store_true", help="skip residual")
     ap.add_argument("--config", default=None, help="JSON config profile path")
@@ -249,10 +251,28 @@ def main(argv=None) -> int:
     if packed_pure:
         a = None
     elif args.input:
-        if args.input.endswith(".npy"):
+        # the reference's `--mat user` path validates the user allocation
+        # against the descriptor before accepting it
+        # (v3_script_cholesky_x_arg_gpt.c:157-196); same contract here:
+        # shape/size must match N, dtype conversions are explicit.
+        if args.input.endswith(".npz"):
+            with np.load(args.input) as z:
+                key = "a" if "a" in z.files else z.files[0]
+                host = z[key]
+        elif args.input.endswith(".npy"):
             host = np.load(args.input)
         else:
             host = np.fromfile(args.input, dtype=dtype)
+        if host.ndim == 2:
+            if host.shape[0] != host.shape[1]:
+                print(f"[dla-potrf] input matrix is {host.shape}, "
+                      "expected square", flush=True)
+                return 2
+            if args.n is None and host.shape[0] != cfg.n:
+                # no explicit --n: the file's own dimension is the descriptor
+                cfg = dataclasses.replace(cfg, n=host.shape[0])
+                print(f"[dla-potrf] N={cfg.n} adopted from {args.input}",
+                      flush=True)
         if host.size != cfg.n * cfg.n:
             print(
                 f"[dla-potrf] input has {host.size} elements, expected "
@@ -260,6 +280,16 @@ def main(argv=None) -> int:
                 flush=True,
             )
             return 2
+        if not np.all(np.isfinite(host)):
+            print("[dla-potrf] input contains non-finite entries", flush=True)
+            return 2
+        if host.ndim == 2 and np.dtype(host.dtype).kind == "c" and not is_complex:
+            print(f"[dla-potrf] input dtype {host.dtype} cannot feed a "
+                  f"{cfg.dtype} run (complex→real)", flush=True)
+            return 2
+        if jnp.dtype(host.dtype).itemsize > jnp.dtype(dtype).itemsize:
+            print(f"[dla-potrf] note: narrowing input {host.dtype} -> "
+                  f"{cfg.dtype}", flush=True)
         a = jnp.asarray(host.reshape(cfg.n, cfg.n).astype(dtype))
     elif view is not None:
         # generate only the view's tiles (tile-local determinism — the whole

@@ -80,25 +80,61 @@ def _ring_kernel(
     lax.fori_loop(0, group - 1, body, 0)
 
 
+def broadcast_chunks(m: int, group: int) -> int:
+    """Pipeline chunk count :func:`ring_broadcast` uses for an ``m``-row
+    buffer on a ``group``-device ring (and that the scaling model charges —
+    ``parallel/model.py`` imports this so the projected time law and the
+    implemented kernel cannot drift apart).
+
+    The store-and-forward cost of an unchunked ring broadcast is
+    ``(D−1)·(V/bw + lat)``; splitting into C chunks pipelines the hops to
+    ``(C + D − 2)·(V/(C·bw) + lat)`` → ``V/bw`` for large C. Picks the
+    largest C ≤ 16·(D−1) (bandwidth overhead (D−2)/C ≤ ~6%; near the
+    optimal C* = √((D−2)·V/(bw·lat)) ≈ 70 for an nb=4096 f32 tile on a
+    v5e link) that divides ``m`` into sublane-aligned chunks
+    (rows % 16 == 0 covers f32 and bf16 tiling); 1 when the buffer is too
+    small to split (≤ one tile of rows), which degenerates to exactly the
+    pre-chunking kernel."""
+    if group <= 1:
+        return 1
+    for c in range(min(16 * (group - 1), m // 16), 0, -1):
+        if m % c == 0 and (m // c) % 16 == 0:
+            return c
+    return 1
+
+
 def _bcast_kernel(
     x_ref, out_ref, comm, send_sem, recv_sem, *, axis_name: str,
-    group: int, root: int,
+    group: int, root: int, chunks: int,
 ):
-    """Uniform-DMA ring broadcast: every device forwards its comm slot every
-    step (no control divergence — conditional DMA in SPMD rings deadlocks),
-    and captures into ``out`` only at the step matching its ring distance
-    from the root. After t steps ``comm[d] == x[d - t]``, so device d holds
-    the root's block exactly at t = (d − root) mod group."""
+    """Chunk-pipelined uniform-DMA ring broadcast. Every device forwards its
+    comm slot every step (no DMA divergence — conditional DMA in SPMD rings
+    deadlocks); the root injects chunk min(t, C−1) into its send slot at
+    step t, so the chunk front advances one hop per step and device at ring
+    distance d captures chunk ``t − (d−1)`` at step t. Total steps
+    C + group − 2; with C = 1 this is exactly the old store-and-forward
+    kernel (capture at t = d−1). Duplicate chunks travel behind the front
+    once the root runs out (t ≥ C) and are never captured — their capture
+    index falls outside [0, C)."""
     my = lax.axis_index(axis_name)
     base = (my // group) * group
     c = my % group
     dist = (c - root) % group
+    is_root = dist == 0
+    m = x_ref.shape[0]
+    mc = m // chunks
     out_ref[...] = x_ref[...]
-    comm[0] = x_ref[...]
+    comm[0] = x_ref[pl.ds(0, mc), :]
 
-    def body(step, _):
-        sslot = step % 2
-        rslot = (step + 1) % 2
+    def body(t, _):
+        sslot = t % 2
+        rslot = (t + 1) % 2
+
+        @pl.when(jnp.logical_and(is_root, t > 0))
+        def _():
+            cidx = jnp.minimum(t, chunks - 1)
+            comm[sslot] = x_ref[pl.ds(cidx * mc, mc), :]
+
         rdma = pltpu.make_async_remote_copy(
             src_ref=comm.at[sslot],
             dst_ref=comm.at[rslot],
@@ -109,11 +145,19 @@ def _bcast_kernel(
         )
         rdma.start()
         rdma.wait()
-        take = dist == step + 1
-        out_ref[...] = jnp.where(take, comm[rslot], out_ref[...])
+        cap = t - (dist - 1)
+        take = jnp.logical_and(
+            jnp.logical_not(is_root),
+            jnp.logical_and(cap >= 0, cap < chunks),
+        )
+
+        @pl.when(take)
+        def _():
+            out_ref[pl.ds(jnp.maximum(cap, 0) * mc, mc), :] = comm[rslot]
+
         return 0
 
-    lax.fori_loop(0, group - 1, body, 0)
+    lax.fori_loop(0, chunks + group - 2, body, 0)
 
 
 def ring_broadcast(
@@ -122,18 +166,22 @@ def ring_broadcast(
     root: int,
     *,
     group: int | None = None,
+    chunks: int | None = None,
     collective_id: int = 0,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Broadcast the ``root`` device's block (m, n) to every device on the
-    ring via pipelined forwarding — the RDMA-native panel broadcast for the
-    factorization's panel step (the XLA equivalent is a masked ``psum``,
-    which moves the same bytes but cannot overlap with unrelated compute the
-    way an explicitly scheduled ring can). ``root`` is the group-local
-    device index and must be static — in the unrolled factorization it is
-    the trace-time panel owner ``k % Q``. ``group`` as in
-    :func:`ring_all_gather` — sub-rings within a flat axis. Must be called
-    inside ``shard_map``."""
+    ring via chunk-pipelined forwarding — the RDMA-native panel broadcast
+    for the factorization's panel step (the XLA equivalent is a masked
+    ``psum``, which moves the same bytes but cannot overlap with unrelated
+    compute the way an explicitly scheduled ring can). ``root`` is the
+    group-local device index and must be static — in the unrolled
+    factorization it is the trace-time panel owner ``k % Q``. ``group`` as
+    in :func:`ring_all_gather` — sub-rings within a flat axis. ``chunks``
+    (default :func:`broadcast_chunks`) splits the buffer into row chunks so
+    hops pipeline: cost (C + D − 2)·(V/(C·bw) + lat) instead of
+    store-and-forward's (D − 1)·(V/bw + lat) — the time law
+    ``parallel/model.py`` charges. Must be called inside ``shard_map``."""
     if x.ndim != 2:
         raise ValueError(f"ring_broadcast expects a 2-D block, got {x.shape}")
     interpret = _interpret() if interpret is None else interpret
@@ -143,13 +191,18 @@ def ring_broadcast(
     if ndev % group:
         raise ValueError(f"axis size {ndev} not a multiple of group {group}")
     m, n = x.shape
+    if chunks is None:
+        chunks = broadcast_chunks(m, group)
+    if m % chunks:
+        raise ValueError(f"chunks={chunks} must divide the {m} buffer rows")
     return pl.pallas_call(
         functools.partial(
-            _bcast_kernel, axis_name=axis_name, group=group, root=int(root)
+            _bcast_kernel, axis_name=axis_name, group=group, root=int(root),
+            chunks=chunks,
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, m, n), x.dtype),
+            pltpu.VMEM((2, m // chunks, n), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

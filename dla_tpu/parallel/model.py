@@ -40,6 +40,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
+from dla_tpu.kernels.collectives import broadcast_chunks
 from dla_tpu.parallel.block_cyclic import BlockCyclicLayout
 from dla_tpu.parallel.potrf_dist import flop_accounting
 
@@ -466,8 +467,13 @@ def project_oocore_mesh(
 #   tracing the data plane with a recording stub;
 # - the ring streams over ONE neighbor link per hop, so its bandwidth is
 #   ici_gbps / ici_links (NOT the aggregate the XLA-collective model
-#   uses); a pipelined broadcast to D−1 receivers costs
-#   V/link_bw + (D−1)·latency;
+#   uses); each broadcast is charged the EXACT time law of the
+#   implemented chunk-pipelined kernel (kernels/collectives.py):
+#   (C + D − 2)·(V/(C·link_bw) + lat) with C = broadcast_chunks(rows, D)
+#   — imported from the kernel module, so the charged C is the C the data
+#   plane actually uses. With C = 1 (buffers too small to split) this is
+#   store-and-forward's (D − 1)·(V/link_bw + lat); latency is charged per
+#   ACTUAL broadcast (the last step has no panel broadcast);
 # - NO lookahead overlap is credited: unlike `_potrf_local` (1-step
 #   pipelined, `potrf_dist.py:184`), the packed-cyclic program is
 #   broadcast-then-update in program order — the model charges
@@ -503,7 +509,17 @@ def packed_cyclic_accounting(n: int, nb: int, ndev: int) -> dict:
         steps.append({
             "k": k, "chol": chol, "solve": solve,
             "bcast_elems": bcast, "trail_per_dev": trail_dev,
+            # the two ring broadcasts' row counts — the time law needs the
+            # buffer geometry, not just the volume (chunk count is a
+            # function of rows)
+            "bcast_rows": (nb, solve_rows if k < nt - 1 else 0),
         })
+        # exec_total is the CRITICAL-PATH convention for the factor/solve
+        # terms (charged once — under shard_map the lax.cond(own, ...)
+        # non-owners wait on the broadcast regardless, so duplicated
+        # execution would not change wall time) and the SPMD-executed
+        # convention for the trailing term (masked lanes still execute
+        # identical shapes — ×ndev is real work).
         exec_total += chol + solve + trail_dev * ndev
     ideal = n**3 / 3.0
     return {
@@ -586,11 +602,20 @@ def project_packed_cyclic(
     rate = single_chip_rate(n_local, chip, tier) * 1e9
     link_bw = spec.ici_gbps / spec.ici_links * 1e9 * spec.link_efficiency
     lat = spec.latency_us * 1e-6
+
+    def t_bcast(rows: int) -> float:
+        # the implemented chunk-pipelined ring kernel's exact time law
+        # (kernels/collectives.py): C+D−2 hops of one chunk each
+        if ndev <= 1 or rows == 0:
+            return 0.0
+        c = broadcast_chunks(rows, ndev)
+        return (c + ndev - 2) * (rows * nb * itemsize / (c * link_bw) + lat)
+
     t_fac = t_comm = t_trail = 0.0
     for s in acc["steps"]:
         t_fac += (s["chol"] + s["solve"]) / rate
-        t_comm += (s["bcast_elems"] * itemsize) / link_bw + 2 * (
-            (ndev - 1) * lat)
+        tile_rows, panel_rows = s["bcast_rows"]
+        t_comm += t_bcast(tile_rows) + t_bcast(panel_rows)
         t_trail += s["trail_per_dev"] / rate
     total = t_fac + t_comm + t_trail
     ideal = n**3 / 3.0

@@ -290,6 +290,46 @@ class TestPallasCollectives:
             for c in range(qg):
                 np.testing.assert_array_equal(got[r * qg + c], blocks[r * qg + 2])
 
+    def test_ring_broadcast_chunk_pipelined(self):
+        """Chunked pipelining (ADVICE r3: the model's V/bw law needs a
+        pipelined kernel): a 256-row buffer on an 8-ring auto-picks C>1 and
+        must deliver the root block bit-exactly; an explicit chunks= value
+        must too."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dla_tpu.kernels.collectives import broadcast_chunks, ring_broadcast
+
+        ndev, m, w = 8, 256, 8
+        assert broadcast_chunks(m, ndev) > 1
+        mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("d",))
+        rng = np.random.default_rng(17)
+        x = jnp.asarray(rng.standard_normal((ndev * m, w)))
+        for chunks in (None, 1, 4, 16):
+            f = jax.jit(
+                jax.shard_map(
+                    lambda xl: ring_broadcast(xl, "d", 5, chunks=chunks),
+                    mesh=mesh, in_specs=P("d", None), out_specs=P("d", None),
+                    check_vma=False,
+                ),
+                static_argnames=(),
+            )
+            got = np.asarray(f(x)).reshape(ndev, m, w)
+            ref = np.asarray(x).reshape(ndev, m, w)[5]
+            for d in range(ndev):
+                np.testing.assert_array_equal(got[d], ref)
+
+    def test_broadcast_chunks_properties(self):
+        from dla_tpu.kernels.collectives import broadcast_chunks
+
+        # degenerate cases collapse to the unchunked kernel
+        assert broadcast_chunks(16, 1) == 1
+        assert broadcast_chunks(16, 8) == 1  # one tile of rows: unsplittable
+        for m, d in [(256, 8), (4096, 8), (736, 8), (8192, 2), (12288, 16)]:
+            c = broadcast_chunks(m, d)
+            assert m % c == 0
+            assert c == 1 or (m // c) % 16 == 0
+            assert c <= max(1, 16 * (d - 1))
+
     def test_grouped_subring_rejects_nondivisible(self):
         from jax.sharding import Mesh, PartitionSpec as P
 
