@@ -17,6 +17,10 @@ from dla_tpu.algos.packed import (  # noqa: F401
     trtri_packed,
     unpack_tri,
 )
+from dla_tpu.algos.potrf_df64 import (  # noqa: F401
+    potrf_df64,
+    residual_potrf_df64,
+)
 from dla_tpu.algos.potri import (  # noqa: F401
     potri,
     potrf_batched,

@@ -1,0 +1,189 @@
+"""Blocked Cholesky in emulated fp64 (df64) — the on-chip ≤1e-10 factor.
+
+The reference's factorization is fp64 (``v6_test.c:57`` CHAMELEON_dpotrf,
+204.8 GF/s repo-best) and its gate is ≤1e-10; this chip has no fast fp64.
+This module factors a double-word fp32 matrix (``ops/df64``: ~49 mantissa
+bits) entirely on the accelerator:
+
+- **trailing update** (the ~N³/3 flops): :func:`dla_tpu.ops.df64.df64_matmul_nt`
+  — S(S+1)/2 = 21 one-pass bf16 MXU passes with exact-product slicing and
+  compensated accumulation; the panel is sliced ONCE and used on both
+  sides of its own P·Pᵀ;
+- **diagonal factor**: fp32 ``lax.linalg.cholesky`` + Ogita/Oishi-style
+  refinement — E = A_kk − L·Lᵀ evaluated in df64, correction
+  dL = L·Φ(L⁻¹ E L⁻ᵀ) solved in fp32 (E is already O(eps32)·|A|, so an
+  fp32 solve leaves O(eps32²) ≈ 1e-14 error), Φ = strict-lower + half
+  diagonal. Two iterations reach the df64 floor;
+- **panel solve**: fp32 triangular solve + the same df64-residual
+  refinement (each step: one df64 GEMM X·L_kkᵀ + one fp32 TRSM).
+
+Everything is jit-compatible (trace-time unrolled panel loop, static
+shapes); runs on CPU (tests gate vs scipy fp64 at 1e-13) and TPU (the
+``f64x`` bench tier — the probe artifact is benchmarks/df64_probe.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dla_tpu.ops.df64 import (
+    df_add,
+    df_sub,
+    df64_matmul_nt,
+    slice_rows,
+    two_sum,
+)
+
+_F32 = jnp.float32
+
+
+def _phi(m):
+    """Φ(M) = strict lower triangle + half the diagonal (the lower-
+    triangular solution of Φ + Φᵀ = M for symmetric M)."""
+    return jnp.tril(m, -1) + 0.5 * jnp.diagflat(jnp.diagonal(m))
+
+
+def _factor_diag_df64(akk_h, akk_l, *, refine: int, gemm_kw) -> tuple:
+    """df64 Cholesky of one nb×nb block: fp32 factor + `refine` steps of
+    df64-residual correction (each O(eps32) → O(eps32²) → df64 floor)."""
+    l0 = jnp.tril(lax.linalg.cholesky(akk_h, symmetrize_input=False))
+    lh, ll = l0, jnp.zeros_like(l0)
+    for _ in range(refine):
+        ph, pl = df64_matmul_nt(lh, ll, lh, ll, **gemm_kw)
+        eh, el = df_sub(akk_h, akk_l, ph, pl)
+        # M = L⁻¹ E L⁻ᵀ in fp32 (E ~ eps·|A|: fp32 relative error on the
+        # correction is second-order)
+        m1 = lax.linalg.triangular_solve(
+            lh, eh, left_side=True, lower=True)
+        m = lax.linalg.triangular_solve(
+            lh, m1, left_side=False, lower=True, transpose_a=True)
+        dl = jnp.matmul(lh, _phi(m), precision=lax.Precision.HIGHEST)
+        lh, ll = df_add(lh, ll, dl, jnp.zeros_like(dl))
+        lh = jnp.tril(lh)
+        ll = jnp.tril(ll)
+    return lh, ll
+
+
+def _panel_solve_df64(lkk_h, lkk_l, bh, bl, *, refine: int, gemm_kw) -> tuple:
+    """Solve X·L_kkᵀ = B in df64: fp32 TRSM + df64-residual refinement."""
+    def trsm(r):
+        return lax.linalg.triangular_solve(
+            lkk_h, r, left_side=False, lower=True, transpose_a=True)
+
+    xh = trsm(bh)
+    xl = jnp.zeros_like(xh)
+    sl_l = slice_rows(lkk_h, lkk_l, s=gemm_kw.get("s", 6),
+                      w=gemm_kw.get("w", 8))[0]
+    for _ in range(refine):
+        ph, pl = df64_matmul_nt(
+            xh, xl, lkk_h, lkk_l, slices_b=sl_l, **gemm_kw)
+        rh, rl = df_sub(bh, bl, ph, pl)
+        dx = trsm(rh)
+        xh, xl = df_add(xh, xl, dx, jnp.zeros_like(dx))
+    return xh, xl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb", "refine", "s", "w", "precise_deg",
+                     "trailing_strips"),
+)
+def potrf_df64(
+    ah: jax.Array,
+    al: jax.Array,
+    *,
+    nb: int = 1024,
+    refine: int = 2,
+    s: int = 6,
+    w: int = 8,
+    precise_deg: int = 3,
+    trailing_strips: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Right-looking blocked df64 POTRF of the (hi, lo) pair → (Lh, Ll),
+    lower triangle (upper zeroed). ``nb`` must divide N. The accuracy
+    knobs (s slices of w bits, `precise_deg` compensated cross-degree,
+    `refine` panel corrections) default to the ≤1e-13-residual
+    configuration measured in tests; s=5 trades ~8 bits for 29% fewer
+    MXU passes. ``trailing_strips`` splits the trailing update into that
+    many lower-trapezoid column strips (triangle-aware: ~(strips−1)/
+    (2·strips) of the square update's MXU passes saved — 37.5% at 4 —
+    at +strips× kernel launches; 1 = plain square update)."""
+    n = ah.shape[0]
+    if ah.shape != (n, n) or al.shape != (n, n):
+        raise ValueError(f"need square (hi, lo) pair, got {ah.shape}")
+    if n % nb:
+        raise ValueError(f"n={n} must be a multiple of nb={nb}")
+    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+    ah = ah.astype(_F32)
+    al = al.astype(_F32)
+    for k in range(0, n, nb):
+        k1 = k + nb
+        lkk_h, lkk_l = _factor_diag_df64(
+            ah[k:k1, k:k1], al[k:k1, k:k1], refine=refine, gemm_kw=gemm_kw)
+        ah = ah.at[k:k1, k:k1].set(lkk_h)
+        al = al.at[k:k1, k:k1].set(lkk_l)
+        if k1 == n:
+            break
+        xh, xl = _panel_solve_df64(
+            lkk_h, lkk_l, ah[k1:, k:k1], al[k1:, k:k1],
+            refine=refine, gemm_kw=gemm_kw)
+        ah = ah.at[k1:, k:k1].set(xh)
+        al = al.at[k1:, k:k1].set(xl)
+        # trailing: C ← C − X·Xᵀ over lower-trapezoid column strips.
+        # Slices are per-ROW scaled, so row sub-ranges of the panel's
+        # slice set are themselves valid slice sets — the panel is sliced
+        # ONCE and every strip reuses row views of it.
+        h = n - k1
+        sx = slice_rows(xh, xl, s=s, w=w)[0]
+        nstr = max(1, min(trailing_strips, h // nb))
+        bounds = [
+            (i * (h // nb) // nstr) * nb for i in range(nstr)
+        ] + [h]
+        for i in range(nstr):
+            j0, j1 = bounds[i], bounds[i + 1]
+            th, tl = df64_matmul_nt(
+                xh[j0:], xl[j0:], xh[j0:j1], xl[j0:j1],
+                slices_a=[sl[j0:] for sl in sx],
+                slices_b=[sl[j0:j1] for sl in sx],
+                **gemm_kw)
+            ch, cl = df_sub(
+                ah[k1 + j0:, k1 + j0: k1 + j1],
+                al[k1 + j0:, k1 + j0: k1 + j1], th, tl)
+            ah = ah.at[k1 + j0:, k1 + j0: k1 + j1].set(ch)
+            al = al.at[k1 + j0:, k1 + j0: k1 + j1].set(cl)
+    return jnp.tril(ah), jnp.tril(al)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "w", "precise_deg"))
+def residual_potrf_df64(
+    ah, al, lh, ll, *, s: int = 6, w: int = 8, precise_deg: int = 3,
+) -> jax.Array:
+    """||A − L·Lᵀ||_inf / ||A||_inf evaluated in df64 ON DEVICE (fp32-only
+    hardware cannot otherwise measure a 1e-13-grade residual; the df64
+    GEMM is itself CPU-validated against fp64 in tests). Returns fp32 —
+    the magnitude is ~1e-13, far above fp32's smallest normal."""
+    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+    ph, pl = df64_matmul_nt(lh, ll, lh, ll, **gemm_kw)
+    rh, rl = df_sub(ah, al, ph, pl)
+    # row sums in df64 (two_sum fold), then the max
+    def rowsum(h, l):
+        # |h + l| bounded by |h| + |l| (the l term is 2⁻²⁴-relative);
+        # compensated column fold keeps the row sums df64-grade
+        m = h.shape[0]
+
+        def body(j, carry):
+            acc_h, acc_l = carry
+            col = jnp.abs(h[:, j]) + jnp.abs(l[:, j])
+            sh, e = two_sum(acc_h, col)
+            return sh, acc_l + e
+
+        acc_h, acc_l = lax.fori_loop(
+            0, h.shape[1], body,
+            (jnp.zeros((m,), _F32), jnp.zeros((m,), _F32)))
+        return jnp.max(acc_h + acc_l)
+
+    return rowsum(rh, rl) / rowsum(ah, al)

@@ -58,6 +58,8 @@ CSV_COLUMNS = [
     "mode",
     "precision",
     "kb",  # trailing-update k-split (late-r3 frontier axis; "" = default)
+    "retries",  # transient-failure re-executions consumed (ArmoniK
+    # max_retries parity, client_distrib.cpp:335-337; "" = none)
 ]
 
 _PERF_RE = re.compile(r"Performance:\s*([0-9.eE+-]+)\s*Gflop/s")
@@ -291,6 +293,7 @@ def _base_row(cfg, n, nb, dtype, mode, mesh, rep) -> dict:
         "mode": mode,
         "precision": cfg.precision or _LIB_DEFAULT,
         "kb": cfg.kb if cfg.kb else "",
+        "retries": "",
     }
 
 
@@ -316,18 +319,44 @@ def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
     if env:
         run_env.update(env)
     exit_code, out, err = 1, "", ""
-    try:
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True,
-            timeout=cfg.timeout_s, env=run_env,
+    retries = 0
+    for attempt in range(max(1, cfg.max_retries)):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=cfg.timeout_s, env=run_env,
+            )
+            exit_code = proc.returncode
+            out = proc.stdout
+            err = proc.stderr or ""
+        except subprocess.TimeoutExpired as e:
+            exit_code = 124
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+            if cfg.platform != "cpu":
+                # A killed TPU child likely left a remote compile in flight;
+                # the single-threaded compile service keeps chewing on it
+                # (poisoned for up to ~45 min — CLAUDE.md), so an immediate
+                # retry would also die. Record rc=124 and move on.
+                break
+        if exit_code == 0:
+            break
+        # transient-failure retry (VERDICT r3 #7; ArmoniK max_retries=3,
+        # client_distrib.cpp:335-337): a child that died with NO parsed
+        # repeats is the compile-service-stall signature (rc!=0, empty
+        # metrics — e.g. the remote compile helper crashing within
+        # seconds); a child that FAILED a numeric gate (rc=1 but metrics
+        # parsed) is deterministic and must not be retried.
+        if parse_repeats(out) or attempt + 1 >= max(1, cfg.max_retries):
+            break
+        backoff = 20.0 * (attempt + 1)
+        print(
+            f"  [retry] child rc={exit_code} with no metrics (transient?) — "
+            f"attempt {attempt + 2}/{cfg.max_retries} in {backoff:.0f}s",
+            file=sys.stderr, flush=True,
         )
-        exit_code = proc.returncode
-        out = proc.stdout
-        err = proc.stderr or ""
-    except subprocess.TimeoutExpired as e:
-        exit_code = 124
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-        err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        time.sleep(backoff)
+        retries += 1
     if exit_code not in (0, None):
         # surface the child's last error lines — a bare rc=1 row is
         # undiagnosable from the campaign log (the reference's fork/exec
@@ -341,11 +370,13 @@ def _run_config_inproc(cfg, n, nb, dtype, mode, mesh, env) -> list[dict]:
     if not reps:  # child died before any repeat: record one failed row
         row = _base_row(cfg, n, nb, dtype, mode, mesh, 0)
         row["exit_code"] = exit_code
+        row["retries"] = retries or ""
         return [row]
     for rep, ms, gf in reps:
         row = _base_row(cfg, n, nb, dtype, mode, mesh, rep)
         row.update(ms=ms, gflops=gf, exit_code=exit_code,
-                   rel_error=res if res is not None else "")
+                   rel_error=res if res is not None else "",
+                   retries=retries or "")
         rows.append(row)
     return rows
 
@@ -371,6 +402,7 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
         run_env.update(env)
     t0 = time.perf_counter()
     exit_code, out = 1, ""
+    retries = 0
     for attempt in range(max(1, cfg.max_retries)):
         try:
             proc = subprocess.run(
@@ -393,6 +425,8 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
                 break
         if exit_code == 0:
             break
+        if attempt + 1 < max(1, cfg.max_retries):
+            retries += 1
     wall_ms = (time.perf_counter() - t0) * 1e3
     gf, res, ms = parse_metrics(out)
     return {
@@ -414,6 +448,7 @@ def _run_one(cfg, n, nb, dtype, mode, mesh, rep, env) -> dict:
         "mode": mode,
         "precision": cfg.precision or _LIB_DEFAULT,
         "kb": cfg.kb if cfg.kb else "",
+        "retries": retries or "",
     }
 
 

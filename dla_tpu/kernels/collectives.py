@@ -16,9 +16,12 @@ so send/receive of consecutive steps don't collide, and the per-step
 ``wait`` on both send and receive semaphores is the ring synchronization.
 
 Validated in interpret mode on a virtual device mesh (tests) — interpret
-mode emulates the inter-device DMAs — and structured per the TPU kernel
-guide's ring-collective pattern for on-hardware use (``collective_id``
-set; sequential grid).
+mode emulates the inter-device DMAs — and Mosaic-compiled/executed on the
+real chip by the r4 probe (degenerate ring, self-RDMA hops, 8-device AOT
+topology compile; ``benchmarks/results_r4/ring_mosaic_compile.log``).
+``collective_id`` is accepted for caller-side bookkeeping but NOT passed
+to the compiler: Mosaic only allows it for kernels using a custom barrier
+semaphore (r4 probe finding).
 
 Limitation (current JAX/Pallas): remote-DMA device addressing only supports
 **single-named-axis meshes** — re-verified this round: the dma_start
@@ -206,9 +209,13 @@ def ring_broadcast(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            collective_id=collective_id, has_side_effects=True
-        ),
+        # collective_id is NOT forwarded: Mosaic rejects it for kernels
+        # that don't use a custom barrier semaphore ("collective_id has to
+        # be unspecified or None when not using a custom barrier" — found
+        # by the r4 on-chip probe, results_r4/ring_mosaic_compile.log;
+        # interpret mode never surfaced this). The per-step DMA-semaphore
+        # waits are the ring synchronization.
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(x)
 
@@ -248,8 +255,8 @@ def ring_all_gather(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            collective_id=collective_id, has_side_effects=True
-        ),
+        # no collective_id — see ring_broadcast (Mosaic rejects it without
+        # a custom barrier; r4 probe finding)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(x)

@@ -20,3 +20,8 @@ from dla_tpu.ops.lapack_like import (  # noqa: F401
     trtri_lower,
 )
 from dla_tpu.ops.blas import gemm, syrk, trsm  # noqa: F401
+from dla_tpu.ops.df64 import (  # noqa: F401
+    df64_matmul_nt,
+    from_df64,
+    to_df64,
+)

@@ -185,6 +185,38 @@ class TestDriverEndToEnd:
         np.testing.assert_allclose(np.tril(l), ref, rtol=1e-9, atol=1e-9)
         del jax
 
+    def test_driver_df64_meets_reference_gate(self):
+        """--mode df64: the emulated-fp64 accelerator path must print the
+        standard residual contract line and PASS the reference's 1e-10
+        fp64 gate (v6_test.c:87) — on the accelerator dtype path, not a
+        CPU fallback."""
+        r = _run(
+            [sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+             "--n", "256", "--nb", "64", "--mode", "df64",
+             "--platform", "cpu"]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "Performance:" in r.stdout
+        assert "||A - LL^T||_inf / ||A||_inf" in r.stdout
+        assert "PASS (residual < 1e-10)" in r.stdout
+
+    def test_driver_df64_user_input(self, tmp_path):
+        import numpy as np
+
+        n = 192
+        rng = np.random.default_rng(5)
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        p = tmp_path / "a64.npy"
+        np.save(p, a)
+        r = _run(
+            [sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+             "--n", str(n), "--nb", "64", "--mode", "df64",
+             "--input", str(p), "--platform", "cpu"]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "PASS (residual < 1e-10)" in r.stdout
+
     def test_driver_user_input_rejections(self, tmp_path):
         import numpy as np
 

@@ -1,0 +1,188 @@
+"""Gates for the emulated-fp64 (df64) path (ops/df64.py +
+algos/potrf_df64.py) — the on-chip route to the reference's fp64
+contract (v6_test.c:57 dpotrf, ≤1e-10 residual gate). Everything here
+validates against TRUE fp64 on the CPU backend; the on-chip numbers live
+in benchmarks/df64_probe.py artifacts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dla_tpu.ops import df64 as D
+
+rng = np.random.default_rng(42)
+
+
+class TestEFT:
+    def test_two_sum_exact(self):
+        a = np.float32(1e8)
+        b = np.float32(1.0)
+        s, e = D.two_sum(jnp.float32(a), jnp.float32(b))
+        assert float(s) + float(e) == float(a) + float(b)
+        # vectorized, mixed magnitudes/signs: s + e == a + b exactly in fp64
+        x = (rng.standard_normal(4096) * np.exp(
+            rng.uniform(-30, 30, 4096))).astype(np.float32)
+        y = (rng.standard_normal(4096) * np.exp(
+            rng.uniform(-30, 30, 4096))).astype(np.float32)
+        s, e = jax.jit(D.two_sum)(jnp.asarray(x), jnp.asarray(y))
+        lhs = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+        rhs = x.astype(np.float64) + y.astype(np.float64)
+        np.testing.assert_array_equal(lhs, rhs)
+
+    def test_two_prod_exact(self):
+        x = (rng.standard_normal(4096) * np.exp(
+            rng.uniform(-15, 15, 4096))).astype(np.float32)
+        y = (rng.standard_normal(4096) * np.exp(
+            rng.uniform(-15, 15, 4096))).astype(np.float32)
+        p, e = jax.jit(D.two_prod)(jnp.asarray(x), jnp.asarray(y))
+        lhs = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        rhs = x.astype(np.float64) * y.astype(np.float64)
+        np.testing.assert_array_equal(lhs, rhs)
+
+
+class TestDfArith:
+    def _pair(self, v):
+        return D.to_df64(v)
+
+    def test_ops_vs_fp64(self):
+        x = rng.standard_normal(8192) * np.exp(rng.uniform(-20, 20, 8192))
+        y = rng.standard_normal(8192) * np.exp(rng.uniform(-20, 20, 8192))
+        xh, xl = self._pair(x)
+        yh, yl = self._pair(y)
+        for op, ref, tol in [
+            (D.df_add, x + y, 5e-13),   # accurate add: stable under
+            (D.df_mul, x * y, 5e-14),   # cancellation too
+            (D.df_div, x / y, 5e-14),
+        ]:
+            h, l = jax.jit(op)(xh, xl, yh, yl)
+            got = np.asarray(D.from_df64(h, l))
+            rel = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300))
+            assert rel < tol, (op.__name__, rel)
+
+    def test_sqrt(self):
+        x = np.abs(rng.standard_normal(8192)) * np.exp(
+            rng.uniform(-20, 20, 8192))
+        xh, xl = self._pair(x)
+        h, l = jax.jit(D.df_sqrt)(xh, xl)
+        got = np.asarray(D.from_df64(h, l))
+        rel = np.max(np.abs(got - np.sqrt(x)) / np.sqrt(x))
+        assert rel < 5e-14, rel
+        h0, l0 = D.df_sqrt(jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32))
+        assert not np.any(np.isnan(np.asarray(h0)))
+
+
+class TestSlicing:
+    def test_slices_bf16_exact_and_reconstruct(self):
+        m, k = 64, 768
+        a = rng.standard_normal((m, k)) * np.exp(rng.uniform(-12, 12, (m, 1)))
+        ah, al = D.to_df64(a)
+        slices, mu = jax.jit(lambda h, l: D.slice_rows(h, l))(ah, al)
+        recon = np.zeros((m, k))
+        for st in slices:
+            f32 = np.asarray(st.astype(jnp.float32))
+            # every slice must be EXACTLY bf16-representable (w=8 bits)
+            rt = np.asarray(
+                jnp.asarray(f32).astype(jnp.bfloat16).astype(jnp.float32))
+            np.testing.assert_array_equal(rt, f32)
+            recon += f32.astype(np.float64)
+        err = np.max(np.abs(recon - a) / np.asarray(mu))
+        assert err < 2.0**-46, err  # bound 2^-48 with rounding slack
+
+    def test_max_exact_chunk(self):
+        assert D.max_exact_chunk(8) == 1024
+        assert D.max_exact_chunk(7) == 4096
+
+
+class TestDf64Gemm:
+    @pytest.mark.parametrize("m,n,k", [(64, 48, 256), (96, 64, 2048),
+                                       (128, 128, 4096)])
+    def test_vs_fp64(self, m, n, k):
+        a = rng.standard_normal((m, k)) * np.exp(rng.uniform(-6, 6, (m, 1)))
+        b = rng.standard_normal((n, k)) * np.exp(rng.uniform(-6, 6, (n, 1)))
+        ah, al = D.to_df64(a)
+        bh, bl = D.to_df64(b)
+        ch, cl = jax.jit(lambda *t: D.df64_matmul_nt(*t))(ah, al, bh, bl)
+        got = np.asarray(D.from_df64(ch, cl))
+        scale = np.abs(a) @ np.abs(b).T
+        rel = np.max(np.abs(got - a @ b.T) / scale)
+        assert rel < 1e-13, rel
+
+    def test_preslicing_matches(self):
+        m, k = 64, 512
+        a = rng.standard_normal((m, k))
+        ah, al = D.to_df64(a)
+        sx = D.slice_rows(ah, al)[0]
+        c1 = D.df64_matmul_nt(ah, al, ah, al)
+        c2 = D.df64_matmul_nt(ah, al, ah, al, slices_a=sx, slices_b=sx)
+        np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
+        np.testing.assert_array_equal(np.asarray(c1[1]), np.asarray(c2[1]))
+
+    def test_more_slices_more_accurate(self):
+        m, k = 64, 2048
+        a = rng.standard_normal((m, k))
+        b = rng.standard_normal((m, k))
+        ah, al = D.to_df64(a)
+        bh, bl = D.to_df64(b)
+        errs = []
+        for s in (4, 5, 6, 7):
+            ch, cl = D.df64_matmul_nt(ah, al, bh, bl, s=s)
+            got = np.asarray(D.from_df64(ch, cl))
+            errs.append(np.max(np.abs(got - a @ b.T) /
+                               (np.abs(a) @ np.abs(b).T)))
+        assert errs[0] > errs[1] > errs[2] > errs[3]
+
+
+class TestPotrfDf64:
+    @pytest.mark.parametrize("n,nb", [(256, 64), (512, 128)])
+    def test_vs_scipy_fp64(self, n, nb):
+        import scipy.linalg
+
+        from dla_tpu.algos.potrf_df64 import potrf_df64
+
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        ah, al = D.to_df64(a)
+        lh, ll = potrf_df64(ah, al, nb=nb)
+        l = np.asarray(D.from_df64(lh, ll))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        ferr = np.max(np.abs(l - ref)) / np.max(np.abs(ref))
+        assert ferr < 1e-12, ferr
+        res = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res  # the reference's 1e-10 gate, with margin
+
+    def test_device_residual_agrees_with_fp64(self):
+        from dla_tpu.algos.potrf_df64 import potrf_df64, residual_potrf_df64
+
+        n = 384
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        ah, al = D.to_df64(a)
+        lh, ll = potrf_df64(ah, al, nb=128)
+        l = np.asarray(D.from_df64(lh, ll))
+        res64 = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        resdev = float(residual_potrf_df64(ah, al, lh, ll))
+        # the device norm is an |h|+|l| upper bound: same decade
+        assert res64 < resdev < 50 * res64 + 1e-13, (res64, resdev)
+        assert resdev < 1e-10  # the gate, measured entirely on device
+
+    def test_s7_tightens_the_floor(self):
+        from dla_tpu.algos.potrf_df64 import potrf_df64
+
+        n = 512
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        ah, al = D.to_df64(a)
+        res = {}
+        for s in (5, 7):
+            lh, ll = potrf_df64(ah, al, nb=128, s=s)
+            l = np.asarray(D.from_df64(lh, ll))
+            res[s] = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res[7] < res[5] / 10, res
+
+    def test_rejects_bad_shapes(self):
+        from dla_tpu.algos.potrf_df64 import potrf_df64
+
+        with pytest.raises(ValueError, match="multiple"):
+            potrf_df64(jnp.eye(100, dtype=jnp.float32),
+                       jnp.zeros((100, 100), jnp.float32), nb=64)
