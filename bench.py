@@ -123,10 +123,19 @@ def main():
     # (dense: 150.8 @57344), bf16 172.2 @106496 (dense: 164.1 @65536) —
     # results_r3/packed_probe.jsonl. Dense inplace rows remain in the
     # campaign CSVs (sweep_kb.csv) for formulation A/Bs.
+    # `highest` stays on the r1/r2-comparable shrink@N=32768 config: at the
+    # 9-pass tier the dots are so compute-dominant that inplace's
+    # trailing-traffic savings don't matter, and shrink's NB=8192 panel
+    # amortizes better (measured: inplace 24.2 vs shrink 26.2 TF/s,
+    # STATUS_r3 session 5) — the one tier whose frontier is NOT inplace.
+    # `f64x` (last: the headline tiers have budget priority) is the
+    # emulated-fp64 tier — double-word fp32 storage, meets the reference's
+    # OWN fp64 1e-10 gate on the accelerator (the reference's best fp64 is
+    # 204.8 GF/s; spec grammar f64x[:slices], benchmarks/df64_probe.jsonl).
     tiers = os.environ.get(
         "BENCH_PRECISIONS",
         "high:inplace:1024:1024:61440,default:packed:4096:4096:81920,"
-        "highest,bf16:packed:4096:4096:106496",
+        "highest,bf16:packed:4096:4096:106496,f64x:7",
     ).split(",")
     # 480 s fit the old all-at-N=32768 list; the per-tier frontier sizes
     # legitimately cost more device time (N=61440 high ≈ 1.32 s/factor ×
@@ -135,7 +144,9 @@ def main():
     # (900: the late-r3 frontier bump — high 57344→61440, default
     # 49152→57344 — adds ~80 s of legitimate device time; 750 would
     # budget-skip the bf16 tier again)
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 900))
+    # (1100: the r4 f64x tier adds ~one-time host fp64 generation under the
+    # balloon-throttled page supply + its own compile/program loads)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1100))
 
     import jax
 
@@ -519,6 +530,56 @@ def main():
             out["chain"] = chain
         return out
 
+    def run_tier_df64(*, nb: int = 1024, n: int = 8192, slices: int = 7):
+        """Emulated-fp64 tier (`f64x`): double-word fp32 storage through
+        the exact-sliced bf16 MXU GEMM (ops/df64.py, algos/potrf_df64.py)
+        — the on-chip path to the reference's own fp64 contract
+        (v6_test.c:57 dpotrf, ≤1e-10 residual gate). Input is generated
+        on the HOST in true fp64 (device fp64 silently degrades —
+        CLAUDE.md) and only the exact (hi, lo) fp32 pair crosses the
+        tunnel; timing is raw per-invocation (host-side generation and
+        the d2h pair upload are outside the clock, matching the
+        reference's dpotrf-only timing). Residual is evaluated in df64
+        ON DEVICE and gated at the reference's 1e-10."""
+        import numpy as np
+
+        from dla_tpu.algos.potrf_df64 import potrf_df64, residual_potrf_df64
+        from dla_tpu.ops.df64 import to_df64
+        from dla_tpu.runtime.staging import HostTileStore
+
+        tag = f"f64x@{n}"
+        st = HostTileStore(n, np.float64)
+        st.fill_plgsy(seed=51, bump=float(n))
+        a64 = st.array.copy()
+        st.close()
+        ah, al = to_df64(a64)
+        del a64
+        _ = float(ah[0, 0]) + float(al[0, 0])
+        t0 = time.perf_counter()
+        lh, ll = potrf_df64(ah, al, nb=nb, s=slices)
+        _ = float(lh[n - 1, n - 1])
+        compile_s = time.perf_counter() - t0
+        log(f"[{tag}] compile+first run: {compile_s:.1f}s")
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            lh, ll = potrf_df64(ah, al, nb=nb, s=slices)
+            _ = float(lh[n - 1, n - 1])
+            times.append(time.perf_counter() - t0)
+            log(f"[{tag}] iter {i}: {times[-1]:.4f}s -> "
+                f"{(n**3 / 3) / times[-1] / 1e9:.1f} GFLOP/s")
+        t = sorted(times)[len(times) // 2]
+        gflops_raw = (n**3 / 3) / t / 1e9
+        res = float(residual_potrf_df64(ah, al, lh, ll, s=slices))
+        log(f"[{tag}] Performance: {gflops_raw:.2f} Gflop/s")
+        log(f"[{tag}] ||A - LL^T||_inf / ||A||_inf = {res:.2e} "
+            f"(df64 on device; reference fp64 gate 1e-10: "
+            f"{'PASS' if res < 1e-10 else 'FAIL'})")
+        return {"gflops": round(gflops_raw, 1),
+                "gflops_raw": round(gflops_raw, 1),
+                "residual": res, "compile_s": round(compile_s, 1),
+                "validation": "df64-device-residual"}
+
     results: dict[str, dict] = {}
     for i, spec in enumerate(tiers):
         # spec grammar: `precision[:formulation[:nb[:kb[:n]]]]`; precision
@@ -543,6 +604,17 @@ def main():
         key = f"{prec}_{form}" if form != "shrink" else prec
         if storage == "bfloat16":
             key = f"bf16_{key}"
+        if prec == "f64x":
+            # spec grammar reuse: f64x[:slices[:nb[:-]][:n]] — the emulated
+            # fp64 tier (slices rides the `formulation` slot)
+            results["f64x"] = run_tier_df64(
+                nb=nb_t if len(parts) > 2 else 1024,
+                n=n_t if len(parts) > 4 else 8192,
+                slices=int(parts[1]) if len(parts) > 1 else 7,
+            )
+            results["f64x"]["nb"] = nb_t if len(parts) > 2 else 1024
+            results["f64x"]["n"] = n_t if len(parts) > 4 else 8192
+            continue
         if form == "packed":
             results[key] = run_tier_packed(prec, storage=storage,
                                            nb=nb_t, kb=kb_t, n=n_t)

@@ -68,28 +68,35 @@ def main():
     log(f"device warmup: {time.perf_counter() - t0:.1f}s")
 
     # --- GEMM micro: logical rate of the df64 product -----------------------
-    for s in (6, 7):
-        m = n = 8192
+    # (s=7's 28 concurrent (m,n) f32 partials OOM HBM at m=n=8192 — XLA
+    # keeps many pass temps live; probe it at half the output size)
+    for s, m in ((6, 8192), (7, 4096)):
+        n = m
         k = 4096
-        rng = np.random.default_rng(1)
-        a64 = rng.standard_normal((m, k))
-        ah, al = to_df64(a64)
-        f = jax.jit(lambda h, l: df64_matmul_nt(h, l, h, l, s=s)[0][0, 0])
-        t0 = time.perf_counter()
-        _ = float(f(ah, al))
-        compile_s = time.perf_counter() - t0
-        times = []
-        for _i in range(3):
+        try:
+            rng = np.random.default_rng(1)
+            a64 = rng.standard_normal((m, k))
+            ah, al = to_df64(a64)
+            f = jax.jit(
+                lambda h, l, _s=s: df64_matmul_nt(h, l, h, l, s=_s)[0][0, 0])
             t0 = time.perf_counter()
             _ = float(f(ah, al))
-            times.append(time.perf_counter() - t0)
-        t = sorted(times)[1]
-        gf = 2.0 * m * n * k / t / 1e9
-        emit({"kind": "gemm_micro", "m": m, "n": n, "k": k, "s": s,
-              "gflops_logical": round(gf, 1),
-              "mxu_passes": s * (s + 1) // 2,
-              "t_s": round(t, 4), "compile_s": round(compile_s, 1)})
-        del ah, al
+            compile_s = time.perf_counter() - t0
+            times = []
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = float(f(ah, al))
+                times.append(time.perf_counter() - t0)
+            t = sorted(times)[1]
+            gf = 2.0 * m * n * k / t / 1e9
+            emit({"kind": "gemm_micro", "m": m, "n": n, "k": k, "s": s,
+                  "gflops_logical": round(gf, 1),
+                  "mxu_passes": s * (s + 1) // 2,
+                  "t_s": round(t, 4), "compile_s": round(compile_s, 1)})
+            del ah, al
+        except Exception as e:  # noqa: BLE001
+            emit({"kind": "gemm_micro", "m": m, "n": n, "k": k, "s": s,
+                  "error": f"{type(e).__name__}: {str(e)[:300]}"})
 
     # --- potrf_df64 ---------------------------------------------------------
     # reuse one big host buffer across sizes (balloon: never free big buffers)
@@ -128,25 +135,30 @@ def main():
                         f"{n**3 / 3 / times[-1] / 1e9:.1f} GF/s")
                 t = sorted(times)[1]
                 gf = n**3 / 3 / t / 1e9
-                res_dev = float(residual_potrf_df64(ah, al, lh, ll))
                 row = {"kind": "potrf_df64", "n": n, "nb": nb, "s": s,
                        "gflops": round(gf, 1), "t_s": round(t, 3),
-                       "residual_device_df64": res_dev,
                        "vs_reference_fp64": round(
                            gf / BASELINE_FP64_GFLOPS, 1),
                        "compile_s": round(compile_s, 1)}
+                try:
+                    # row-chunked df64 residual at the SAME s (a first-cut
+                    # monolithic version crashed the compile helper at
+                    # N=8192 and floored at its own s=6 method error)
+                    row["residual_device_df64"] = float(
+                        residual_potrf_df64(ah, al, lh, ll, s=s))
+                except Exception as e:  # noqa: BLE001
+                    row["residual_error"] = f"{type(e).__name__}: {str(e)[:200]}"
                 if n <= 8192:
-                    l64 = np.asarray(from_df64(lh, ll, jnp.float32),
-                                     np.float64)
                     # exact recombination on host: hi + lo in fp64
                     l64 = (np.asarray(lh, np.float64)
                            + np.asarray(ll, np.float64))
                     r = np.abs(a - l64 @ l64.T).sum(1).max()
                     row["residual_host_fp64"] = float(
                         r / np.abs(a).sum(1).max())
-                row["gate_1e10"] = (
-                    "PASS" if row.get(
-                        "residual_host_fp64", res_dev) < 1e-10 else "FAIL")
+                gate_val = row.get(
+                    "residual_host_fp64", row.get("residual_device_df64"))
+                if gate_val is not None:
+                    row["gate_1e10"] = "PASS" if gate_val < 1e-10 else "FAIL"
                 emit(row)
                 del lh, ll
             except Exception as e:  # noqa: BLE001 — log and continue

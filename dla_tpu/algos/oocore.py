@@ -435,6 +435,7 @@ def potrf_outofcore(
     }
     wall0 = time.perf_counter()
     item = store.dtype.itemsize
+    wb_buf = None  # persistent writeback buffer (sharded-mesh path)
     pool = ThreadPoolExecutor(max_workers=1) if prefetch else None
 
     def fetch(j0: int, k0: int, ph: int):
@@ -478,7 +479,35 @@ def potrf_outofcore(
             pj = _jitted("factor", (ph, panel), nb, dtype_str,
                          sharding is not None)(pj)
             t0 = time.perf_counter()
-            host_pj = np.asarray(pj)  # d2h (blocks until the panel is done)
+            pj.block_until_ready()  # attribute the compute tail to sync_s,
+            # not writeback_s (np.asarray would otherwise absorb it)
+            stats["sync_s"] = stats.get("sync_s", 0.0) + (
+                time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            if sharding is not None:
+                # np.asarray of a SHARDED array concatenates the shards into
+                # a FRESH numpy allocation every panel — under this VM's
+                # balloon-throttled page supply that runs at ~5 MB/s and
+                # made writeback 55% of the r4 combo run (CLAUDE.md).
+                # Instead copy shard views (zero-copy host memory on the
+                # CPU backend) into ONE persistent pre-faulted buffer.
+                if wb_buf is None or wb_buf.size < n * panel:
+                    from dla_tpu.runtime.staging import _aligned_empty
+
+                    wb_buf = _aligned_empty(n * panel * item).view(
+                        store.dtype)[: n * panel].reshape(n, panel)
+                host_pj = wb_buf[:ph]
+                r0 = 0
+                for sh in sorted(
+                    pj.addressable_shards,
+                    key=lambda s: s.index[0].start or 0,
+                ):
+                    d = np.asarray(sh.data)
+                    np.copyto(host_pj[r0: r0 + d.shape[0]], d)
+                    r0 += d.shape[0]
+                assert r0 == ph, (r0, ph)
+            else:
+                host_pj = np.asarray(pj)  # d2h (blocks until panel done)
             host_pj = host_pj[: n - j0]  # drop bucketed pad rows
             if side:
                 side.stage(j, host_pj)

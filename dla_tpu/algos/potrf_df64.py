@@ -98,7 +98,7 @@ def potrf_df64(
     *,
     nb: int = 1024,
     refine: int = 2,
-    s: int = 6,
+    s: int = 7,
     w: int = 8,
     precise_deg: int = 3,
     trailing_strips: int = 4,
@@ -106,10 +106,13 @@ def potrf_df64(
     """Right-looking blocked df64 POTRF of the (hi, lo) pair → (Lh, Ll),
     lower triangle (upper zeroed). ``nb`` must divide N. The accuracy
     knobs (s slices of w bits, `precise_deg` compensated cross-degree,
-    `refine` panel corrections) default to the ≤1e-13-residual
-    configuration measured in tests; s=5 trades ~8 bits for 29% fewer
-    MXU passes. ``trailing_strips`` splits the trailing update into that
-    many lower-trapezoid column strips (triangle-aware: ~(strips−1)/
+    `refine` panel corrections) default to the gate-safe configuration:
+    the trailing truncation scales ~n·2^(−s·w), so s=6 sits right AT the
+    1e-10 gate by N=4096 (measured 1.03e-10 on chip) while s=7 passes
+    with 100× margin at only ~10% end-to-end cost (measured 1.56 vs
+    1.41 TF/s at N=8192 — benchmarks/results_r4/df64_probe.jsonl).
+    ``trailing_strips`` splits the trailing update into that many
+    lower-trapezoid column strips (triangle-aware: ~(strips−1)/
     (2·strips) of the square update's MXU passes saved — 37.5% at 4 —
     at +strips× kernel launches; 1 = plain square update)."""
     n = ah.shape[0]
@@ -158,32 +161,63 @@ def potrf_df64(
     return jnp.tril(ah), jnp.tril(al)
 
 
+def _df64_rowsum_max(h, l):
+    """max_i Σ_j (|h| + |l|)[i, j] with a compensated column fold — the
+    df64-grade ∞-norm bound of a (hi, lo) matrix."""
+    m = h.shape[0]
+
+    def body(j, carry):
+        acc_h, acc_l = carry
+        col = jnp.abs(h[:, j]) + jnp.abs(l[:, j])
+        sh, e = two_sum(acc_h, col)
+        return sh, acc_l + e
+
+    acc_h, acc_l = lax.fori_loop(
+        0, h.shape[1], body,
+        (jnp.zeros((m,), _F32), jnp.zeros((m,), _F32)))
+    return jnp.max(acc_h + acc_l)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "w"))
+def _jit_slices(lh, ll, *, s, w):
+    return tuple(slice_rows(lh, ll, s=s, w=w)[0])
+
+
 @functools.partial(jax.jit, static_argnames=("s", "w", "precise_deg"))
+def _residual_strip(ah_s, al_s, sa, sl, *, s, w, precise_deg):
+    ph, pl = df64_matmul_nt(
+        None, None, None, None, slices_a=list(sa), slices_b=list(sl),
+        s=s, w=w, precise_deg=precise_deg)
+    rh, rl = df_sub(ah_s, al_s, ph, pl)
+    return _df64_rowsum_max(rh, rl)
+
+
 def residual_potrf_df64(
-    ah, al, lh, ll, *, s: int = 6, w: int = 8, precise_deg: int = 3,
+    ah, al, lh, ll, *, s: int = 7, w: int = 8, precise_deg: int = 3,
+    row_chunk: int = 1024,
 ) -> jax.Array:
     """||A − L·Lᵀ||_inf / ||A||_inf evaluated in df64 ON DEVICE (fp32-only
     hardware cannot otherwise measure a 1e-13-grade residual; the df64
     GEMM is itself CPU-validated against fp64 in tests). Returns fp32 —
-    the magnitude is ~1e-13, far above fp32's smallest normal."""
-    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
-    ph, pl = df64_matmul_nt(lh, ll, lh, ll, **gemm_kw)
-    rh, rl = df_sub(ah, al, ph, pl)
-    # row sums in df64 (two_sum fold), then the max
-    def rowsum(h, l):
-        # |h + l| bounded by |h| + |l| (the l term is 2⁻²⁴-relative);
-        # compensated column fold keeps the row sums df64-grade
-        m = h.shape[0]
+    the magnitude is ~1e-13, far above fp32's smallest normal.
 
-        def body(j, carry):
-            acc_h, acc_l = carry
-            col = jnp.abs(h[:, j]) + jnp.abs(l[:, j])
-            sh, e = two_sum(acc_h, col)
-            return sh, acc_l + e
-
-        acc_h, acc_l = lax.fori_loop(
-            0, h.shape[1], body,
-            (jnp.zeros((m,), _F32), jnp.zeros((m,), _F32)))
-        return jnp.max(acc_h + acc_l)
-
-    return rowsum(rh, rl) / rowsum(ah, al)
+    Structure (shaped by two r4 probe failures): the reconstruction runs
+    ONE jitted ``row_chunk``-row strip program, re-invoked per strip from
+    the host — a monolithic L·Lᵀ kept tens of (n, n) fp32 pass partials
+    live and crashed the remote compile helper at N=8192, and even the
+    strip loop fused into one jit (2,800 dots) crashed it at N=16384.
+    L is sliced once on device; strips pass row views of the slices.
+    The measured value floors at the GEMM's own method error
+    (~n·2^(−s·w) relative) — default s=7 keeps that floor ~1e-12 at
+    N≈64k, comfortably under the 1e-10 gate it certifies."""
+    n = ah.shape[0]
+    row_chunk = min(row_chunk, n)
+    sl = _jit_slices(lh, ll, s=s, w=w)
+    num = jnp.zeros((), _F32)
+    for r0 in range(0, n, row_chunk):
+        r1 = min(n, r0 + row_chunk)
+        sa = tuple(x[r0:r1] for x in sl)
+        num = jnp.maximum(num, _residual_strip(
+            ah[r0:r1], al[r0:r1], sa, sl,
+            s=s, w=w, precise_deg=precise_deg))
+    return num / jax.jit(_df64_rowsum_max)(ah, al)

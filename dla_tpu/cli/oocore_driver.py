@@ -162,7 +162,10 @@ def main(argv=None) -> int:
             f"h2d wait {stats['h2d_wait_s']:.1f}s), "
             f"out {stats['bytes_out'] / gib:.2f} GiB "
             f"(writeback {stats['writeback_s']:.1f}s @ "
-            f"{stats['bytes_out'] / max(stats['writeback_s'], 1e-9) / gib:.2f} GiB/s)",
+            f"{stats['bytes_out'] / max(stats['writeback_s'], 1e-9) / gib:.2f} GiB/s"
+            + (f", compute sync {stats['sync_s']:.1f}s"
+               if stats.get("sync_s") else "")
+            + ")",
             flush=True,
         )
 

@@ -95,8 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--slices", type=int, default=None,
-        help="df64 mode: bf16 slice count (6 = 21 MXU passes, ~1e-11 "
-        "residual grade at N≤8k; 7 = 28 passes, ~2^-56 floor for larger N)",
+        help="df64 mode: bf16 slice count (default 7 = 28 MXU passes, residual "
+        "~n*2^-56 — 100x gate margin; 6 = 21 passes, sits AT 1e-10 by N=4096)",
     )
     ap.add_argument(
         "--checked", action="store_true",
@@ -430,7 +430,7 @@ def main(argv=None) -> int:
             print("[dla-potrf] --mode df64 needs the plgsy generator or "
                   "--input")
             return 2
-        df64_slices = args.slices or (7 if cfg.n > 8192 else 6)
+        df64_slices = args.slices or 7  # s=6 sits AT the 1e-10 gate by N=4096 (probe)
         ah, al = to_df64(a64)
         _ = float(ah[0, 0]) + float(al[0, 0])
 

@@ -384,6 +384,57 @@ def project_oocore_host(
     }
 
 
+@dataclasses.dataclass(frozen=True)
+class OocoreComboCalib:
+    """Measured rates for the DISTRIBUTED out-of-core path on this VM's
+    8-virtual-device CPU mesh (the r4 combo artifact,
+    ``benchmarks/results_r4/oocore_combo_n49152_v2.log``; VERDICT r3 #4).
+
+    gemm_gflops: XLA-CPU sharded update-GEMM rate, measured by an
+      independent micro of the actual jitted update program on the 2x4
+      virtual mesh (single host core — the virtual mesh buys memory
+      geometry, not parallel compute).
+    overhead: end-to-end factor over the pure-GEMM time (panel
+      factor+solve with collectives, dispatch, python) — fitted on the
+      N=16384 combo smoke, then validated cross-size on the N=49152 run
+      (tests/test_model.py).
+    pack_gibps / writeback_gibps: the run's own staging lines (writeback
+      is the r4 fixed path: per-shard zero-copy views into a persistent
+      pre-faulted buffer — the first-cut np.asarray(sharded) path ran at
+      the balloon's ~5 MB/s fresh-page rate and was 55% of wall).
+    """
+
+    gemm_gflops: float = 33.4
+    overhead: float = 1.25
+    pack_gibps: float = 0.43
+    writeback_gibps: float = 0.13
+
+
+def project_oocore_combo(
+    n: int,
+    panel: int = 4096,
+    *,
+    calib: OocoreComboCalib = OocoreComboCalib(),
+    itemsize: int = 4,
+) -> dict:
+    """Projected end-to-end seconds for the distributed (virtual-mesh)
+    out-of-core combo on this VM — the measured-run pin for the
+    config-5-shaped pipeline (disk panel store × sharded update GEMMs).
+    Same volume geometry as :func:`project_oocore_host`."""
+    v = oocore_volumes(n, panel, itemsize)
+    gib = 2.0**30
+    t_compute = v["flops"] / (calib.gemm_gflops * 1e9) * calib.overhead
+    t_pack = v["stream_bytes"] / gib / calib.pack_gibps
+    t_wb = v["writeback_bytes"] / gib / calib.writeback_gibps
+    total = t_compute + t_pack + t_wb
+    return {
+        **v,
+        "t_compute_s": t_compute, "t_pack_s": t_pack, "t_writeback_s": t_wb,
+        "t_total_s": total,
+        "gflops": v["flops"] / total / 1e9,
+    }
+
+
 def project_oocore_mesh(
     n: int,
     panel: int = 8192,
