@@ -19,6 +19,7 @@ from dla_tpu.algos.packed import (  # noqa: F401
 )
 from dla_tpu.algos.potrf_df64 import (  # noqa: F401
     potrf_df64,
+    potrs_df64,
     residual_potrf_df64,
 )
 from dla_tpu.algos.potri import (  # noqa: F401

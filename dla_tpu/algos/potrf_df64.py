@@ -90,7 +90,7 @@ def _panel_solve_df64(lkk_h, lkk_l, bh, bl, *, refine: int, gemm_kw) -> tuple:
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "refine", "s", "w", "precise_deg",
-                     "trailing_strips"),
+                     "trailing_strips", "trailing", "tb"),
 )
 def potrf_df64(
     ah: jax.Array,
@@ -102,6 +102,8 @@ def potrf_df64(
     w: int = 8,
     precise_deg: int = 3,
     trailing_strips: int = 4,
+    trailing: str = "xla",
+    tb: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
     """Right-looking blocked df64 POTRF of the (hi, lo) pair → (Lh, Ll),
     lower triangle (upper zeroed). ``nb`` must divide N. The accuracy
@@ -114,12 +116,19 @@ def potrf_df64(
     ``trailing_strips`` splits the trailing update into that many
     lower-trapezoid column strips (triangle-aware: ~(strips−1)/
     (2·strips) of the square update's MXU passes saved — 37.5% at 4 —
-    at +strips× kernel launches; 1 = plain square update)."""
+    at +strips× kernel launches; 1 = plain square update).
+
+    ``trailing="pallas"`` replaces the XLA strip loop with the fused
+    in-VMEM pass-loop kernel (``kernels/df64_tiles.trailing_update_df64``,
+    ``tb``-tile lower-triangle pair grid) — one C-pair load/store per
+    panel step instead of one per MXU pass, and exactly triangle-only."""
     n = ah.shape[0]
     if ah.shape != (n, n) or al.shape != (n, n):
         raise ValueError(f"need square (hi, lo) pair, got {ah.shape}")
     if n % nb:
         raise ValueError(f"n={n} must be a multiple of nb={nb}")
+    if trailing == "pallas" and (n % tb or nb % tb):
+        raise ValueError(f"trailing='pallas' needs tb | nb | n (tb={tb})")
     gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
     ah = ah.astype(_F32)
     al = al.astype(_F32)
@@ -136,12 +145,18 @@ def potrf_df64(
             refine=refine, gemm_kw=gemm_kw)
         ah = ah.at[k1:, k:k1].set(xh)
         al = al.at[k1:, k:k1].set(xl)
-        # trailing: C ← C − X·Xᵀ over lower-trapezoid column strips.
-        # Slices are per-ROW scaled, so row sub-ranges of the panel's
-        # slice set are themselves valid slice sets — the panel is sliced
-        # ONCE and every strip reuses row views of it.
+        # trailing: C ← C − X·Xᵀ. Slices are per-ROW scaled, so row
+        # sub-ranges of the panel's slice set are themselves valid slice
+        # sets — the panel is sliced ONCE and reused.
         h = n - k1
         sx = slice_rows(xh, xl, s=s, w=w)[0]
+        if trailing == "pallas":
+            from dla_tpu.kernels.df64_tiles import trailing_update_df64
+
+            ah, al = trailing_update_df64(
+                ah, al, sx, origin=k1 // tb, tb=tb, w=w,
+                precise_deg=precise_deg)
+            continue
         nstr = max(1, min(trailing_strips, h // nb))
         bounds = [
             (i * (h // nb) // nstr) * nb for i in range(nstr)
@@ -176,6 +191,48 @@ def _df64_rowsum_max(h, l):
         0, h.shape[1], body,
         (jnp.zeros((m,), _F32), jnp.zeros((m,), _F32)))
     return jnp.max(acc_h + acc_l)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "w", "precise_deg", "refine"))
+def potrs_df64(
+    lh: jax.Array,
+    ll: jax.Array,
+    bh: jax.Array,
+    bl: jax.Array,
+    *,
+    s: int = 7,
+    w: int = 8,
+    precise_deg: int = 3,
+    refine: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve L·Lᵀ·X = B in df64 from a :func:`potrf_df64` factor — the
+    fp64-contract SOLVE on the accelerator (the reference's posv gate,
+    ``v6_test.c:87``). Each substitution is an fp32 triangular solve +
+    ``refine`` steps of df64-residual correction (one df64 GEMM + one
+    fp32 TRSM per step — the same scheme as the factor's panel solve).
+    B is an (n, nrhs) df64 pair; returns the (Xh, Xl) pair."""
+    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+
+    def tr(r, transpose):
+        return lax.linalg.triangular_solve(
+            lh, r, left_side=True, lower=True, transpose_a=transpose)
+
+    def refine_solve(rh_in, rl_in, transpose, op_h, op_l):
+        """x ≈ OP⁻¹·r with df64-residual refinement; OP = L or Lᵀ given
+        as its df64 pair (op_h, op_l) — the GEMM computes OP·x as
+        A·Bᵀ with A = OP, B = xᵀ."""
+        xh = tr(rh_in, transpose)
+        xl = jnp.zeros_like(xh)
+        for _ in range(refine):
+            ph, pl = df64_matmul_nt(op_h, op_l, xh.T, xl.T, **gemm_kw)
+            rh, rl = df_sub(rh_in, rl_in, ph, pl)
+            dx = tr(rh, transpose)
+            xh, xl = df_add(xh, xl, dx, jnp.zeros_like(dx))
+        return xh, xl
+
+    yh, yl = refine_solve(bh, bl, False, lh, ll)
+    return refine_solve(yh, yl, True, lh.T, ll.T)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "w"))

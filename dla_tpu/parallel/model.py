@@ -404,9 +404,10 @@ class OocoreComboCalib:
       the balloon's ~5 MB/s fresh-page rate and was 55% of wall).
     """
 
-    gemm_gflops: float = 33.4
-    overhead: float = 1.25
-    pack_gibps: float = 0.43
+    gemm_gflops: float = 70.0
+    overhead: float = 1.235
+    panel_fixed_s: float = 10.8
+    pack_gibps: float = 0.55
     writeback_gibps: float = 0.13
 
 
@@ -420,10 +421,16 @@ def project_oocore_combo(
     """Projected end-to-end seconds for the distributed (virtual-mesh)
     out-of-core combo on this VM — the measured-run pin for the
     config-5-shaped pipeline (disk panel store × sharded update GEMMs).
-    Same volume geometry as :func:`project_oocore_host`."""
+    Same volume geometry as :func:`project_oocore_host`; compute is a
+    2-term law: GEMM flops at the measured sharded-update rate ×
+    ``overhead`` (collective/dispatch inefficiency) + a per-panel fixed
+    cost (sharded factor+solve, per-shape jit compile, python) fitted on
+    the N∈{16384, 24576} combo runs and validated cross-size on fresh
+    N∈{32768, 49152} runs (tests/test_model.py)."""
     v = oocore_volumes(n, panel, itemsize)
     gib = 2.0**30
-    t_compute = v["flops"] / (calib.gemm_gflops * 1e9) * calib.overhead
+    t_compute = (v["flops"] / (calib.gemm_gflops * 1e9) * calib.overhead
+                 + v["npanels"] * calib.panel_fixed_s)
     t_pack = v["stream_bytes"] / gib / calib.pack_gibps
     t_wb = v["writeback_bytes"] / gib / calib.writeback_gibps
     total = t_compute + t_pack + t_wb

@@ -133,6 +133,70 @@ class TestDf64Gemm:
         assert errs[0] > errs[1] > errs[2] > errs[3]
 
 
+class TestDf64TrailingKernel:
+    def test_kernel_matches_fp64_on_lower_tiles(self):
+        from dla_tpu.kernels.df64_tiles import trailing_update_df64
+
+        m, nb, tb = 384, 128, 128
+        c = rng.standard_normal((m, m))
+        p = rng.standard_normal((m, nb))
+        ch, cl = D.to_df64(c)
+        ph, plo = D.to_df64(p)
+        sx = D.slice_rows(ph, plo, s=7)[0]
+        och, ocl = trailing_update_df64(ch, cl, list(sx), tb=tb)
+        got = np.asarray(och, np.float64) + np.asarray(ocl, np.float64)
+        ref = c - p @ p.T
+        for i in range(0, m, tb):
+            for j in range(0, i + tb, tb):
+                np.testing.assert_allclose(
+                    got[i:i + tb, j:j + tb], ref[i:i + tb, j:j + tb],
+                    rtol=0, atol=1e-10)
+
+    def test_kernel_origin_and_kchunks(self):
+        from dla_tpu.kernels.df64_tiles import trailing_update_df64
+        from dla_tpu.ops.df64 import max_exact_chunk
+
+        m, nb, tb, origin = 512, 512, 128, 1
+        assert nb > max_exact_chunk(9)  # force nk > 1 via w=9
+        c = rng.standard_normal((m, m))
+        p = rng.standard_normal((m - origin * tb, nb))
+        ch, cl = D.to_df64(c)
+        ph, plo = D.to_df64(p)
+        sx = D.slice_rows(ph, plo, s=6, w=9)[0]
+        och, ocl = trailing_update_df64(
+            ch, cl, list(sx), tb=tb, origin=origin, w=9)
+        got = np.asarray(och, np.float64) + np.asarray(ocl, np.float64)
+        o = origin * tb
+        # the df64-rounded input is the passthrough reference (to_df64
+        # already dropped bits beyond 2^-49 of c)
+        c_df = np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
+        ref = c_df.copy()
+        ref[o:, o:] -= p @ p.T
+        # untouched first tile row/col passes through (aliased)
+        np.testing.assert_array_equal(got[:o, :], c_df[:o, :])
+        for i in range(o, m, tb):
+            for j in range(o, i + tb, tb):
+                np.testing.assert_allclose(
+                    got[i:i + tb, j:j + tb], ref[i:i + tb, j:j + tb],
+                    rtol=0, atol=1e-9)
+
+    def test_potrf_pallas_trailing_matches_xla(self):
+        from dla_tpu.algos.potrf_df64 import potrf_df64
+
+        n, nb = 512, 128
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        ah, al = D.to_df64(a)
+        lx = potrf_df64(ah, al, nb=nb, trailing="xla")
+        lp = potrf_df64(ah, al, nb=nb, trailing="pallas", tb=128)
+        for x, p in zip(lx, lp):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(p), rtol=0, atol=1e-9)
+        l = np.asarray(D.from_df64(*lp))
+        res = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res
+
+
 class TestPotrfDf64:
     @pytest.mark.parametrize("n,nb", [(256, 64), (512, 128)])
     def test_vs_scipy_fp64(self, n, nb):
@@ -186,3 +250,21 @@ class TestPotrfDf64:
         with pytest.raises(ValueError, match="multiple"):
             potrf_df64(jnp.eye(100, dtype=jnp.float32),
                        jnp.zeros((100, 100), jnp.float32), nb=64)
+
+    def test_potrs_df64_meets_posv_gate(self):
+        """The fp64-contract SOLVE on the accelerator dtype path: factor
+        + solve entirely in df64 must meet the reference's 1e-10 posv
+        gate (v6_test.c:87) against true fp64."""
+        from dla_tpu.algos.potrf_df64 import potrf_df64, potrs_df64
+
+        n, nrhs = 384, 4
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        b = rng.standard_normal((n, nrhs))
+        ah, al = D.to_df64(a)
+        bh, bl = D.to_df64(b)
+        lh, ll = potrf_df64(ah, al, nb=128)
+        xh, xl = potrs_df64(lh, ll, bh, bl)
+        x = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        res = np.abs(b - a @ x).max() / (np.abs(a).max() * np.abs(x).max())
+        assert res < 1e-12, res  # 1e-10 gate with margin
