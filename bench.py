@@ -556,14 +556,16 @@ def main():
         del a64
         _ = float(ah[0, 0]) + float(al[0, 0])
         t0 = time.perf_counter()
-        lh, ll = potrf_df64(ah, al, nb=nb, s=slices)
+        lh, ll = potrf_df64(ah, al, nb=nb, s=slices,
+                            trailing="pallas", tb=min(512, nb))
         _ = float(lh[n - 1, n - 1])
         compile_s = time.perf_counter() - t0
         log(f"[{tag}] compile+first run: {compile_s:.1f}s")
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
-            lh, ll = potrf_df64(ah, al, nb=nb, s=slices)
+            lh, ll = potrf_df64(ah, al, nb=nb, s=slices,
+                                trailing="pallas", tb=min(512, nb))
             _ = float(lh[n - 1, n - 1])
             times.append(time.perf_counter() - t0)
             log(f"[{tag}] iter {i}: {times[-1]:.4f}s -> "

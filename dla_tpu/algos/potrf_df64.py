@@ -49,7 +49,18 @@ def _phi(m):
 
 def _factor_diag_df64(akk_h, akk_l, *, refine: int, gemm_kw) -> tuple:
     """df64 Cholesky of one nb×nb block: fp32 factor + `refine` steps of
-    df64-residual correction (each O(eps32) → O(eps32²) → df64 floor)."""
+    df64-residual correction (each O(eps32) → O(eps32²) → df64 floor).
+
+    The block is re-symmetrized from its LOWER triangle first: trailing
+    backends that update lower tiles only (the Pallas pair-grid kernel
+    with tb < nb) leave the block's upper tiles stale, and the refinement
+    residual E = A − L·Lᵀ reads the full block — a stale upper would
+    contaminate the correction through L⁻¹·E·L⁻ᵀ."""
+    low_h = jnp.tril(akk_h)
+    low_l = jnp.tril(akk_l)
+    d_h = jnp.diagflat(jnp.diagonal(akk_h))
+    d_l = jnp.diagflat(jnp.diagonal(akk_l))
+    akk_h, akk_l = df_add(low_h, low_l, low_h.T - d_h, low_l.T - d_l)
     l0 = jnp.tril(lax.linalg.cholesky(akk_h, symmetrize_input=False))
     lh, ll = l0, jnp.zeros_like(l0)
     for _ in range(refine):

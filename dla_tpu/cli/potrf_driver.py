@@ -431,11 +431,15 @@ def main(argv=None) -> int:
                   "--input")
             return 2
         df64_slices = args.slices or 7  # s=6 sits AT the 1e-10 gate by N=4096 (probe)
+        df64_trailing = args.trailing  # 'pallas' = fused in-VMEM pass loop,
+        # 1.43x at N=16384 with identical residuals (df64_trailing_ab.log)
         ah, al = to_df64(a64)
         _ = float(ah[0, 0]) + float(al[0, 0])
 
         def run():
-            lh, ll = potrf_df64(ah, al, nb=cfg.nb, s=df64_slices)
+            lh, ll = potrf_df64(ah, al, nb=cfg.nb, s=df64_slices,
+                                trailing=df64_trailing,
+                                tb=min(512, cfg.nb))
             _ = float(jnp.real(lh[cfg.n - 1, cfg.n - 1]))
             return (lh, ll)
 

@@ -196,6 +196,22 @@ class TestDf64TrailingKernel:
         res = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
         assert res < 1e-11, res
 
+    def test_potrf_pallas_trailing_tb_below_nb(self):
+        """Regression (r4 on-chip find): with tb < nb the pair grid leaves
+        the diagonal block's upper TILES stale, and the refinement's
+        E = A − L·Lᵀ read them — residuals collapsed to 1e-6 on chip.
+        The diag factor now re-symmetrizes from the lower triangle."""
+        from dla_tpu.algos.potrf_df64 import potrf_df64
+
+        n, nb, tb = 768, 256, 128
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        ah, al = D.to_df64(a)
+        lh, ll = potrf_df64(ah, al, nb=nb, trailing="pallas", tb=tb)
+        l = np.asarray(D.from_df64(lh, ll))
+        res = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res
+
 
 class TestPotrfDf64:
     @pytest.mark.parametrize("n,nb", [(256, 64), (512, 128)])
