@@ -18,6 +18,7 @@ from dla_tpu.algos.packed import (  # noqa: F401
     unpack_tri,
 )
 from dla_tpu.algos.potrf_df64 import (  # noqa: F401
+    freivalds_potrf_df64,
     potrf_df64,
     potrs_df64,
     residual_potrf_df64,

@@ -246,6 +246,62 @@ def potrs_df64(
     return refine_solve(yh, yl, True, lh.T, ll.T)
 
 
+@functools.partial(jax.jit, static_argnames=("s", "w", "precise_deg"))
+def _matvec_strip_df64(mh_s, ml_s, xth, xtl, *, s, w, precise_deg):
+    """(strip, k) df64 · (k,) df64 probes — one strip of a df64 matvec
+    (slices computed per strip: O(strip·k) transient memory)."""
+    return df64_matmul_nt(mh_s, ml_s, xth, xtl,
+                          s=s, w=w, precise_deg=precise_deg)
+
+
+def _matvec_df64(mh, ml, xth, xtl, *, s, w, precise_deg, row_chunk):
+    """Full df64 matvec M·X (X given transposed: (nrhs, k) pair) by
+    jitted row strips — keeps slice memory O(row_chunk·k), which is what
+    lets frontier-size factors be validated on a 16 GiB chip."""
+    m = mh.shape[0]
+    outs_h, outs_l = [], []
+    for r0 in range(0, m, row_chunk):
+        r1 = min(m, r0 + row_chunk)
+        h, l = _matvec_strip_df64(
+            mh[r0:r1], ml[r0:r1], xth, xtl,
+            s=s, w=w, precise_deg=precise_deg)
+        outs_h.append(h)
+        outs_l.append(l)
+    return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
+
+
+def freivalds_potrf_df64(
+    lh, ll, ah, al, *, probes: int = 2, seed: int = 71,
+    s: int = 7, w: int = 8, precise_deg: int = 3, row_chunk: int = 1024,
+) -> jax.Array:
+    """Streaming Freivalds gate for a df64 factor at frontier sizes:
+    ``max_p ||(A − L·Lᵀ)·x_p||_inf / (||A||_inf·||x_p||_inf)`` with every
+    matvec in df64 — O(n²) work and O(row_chunk·n) slice memory, where
+    the full reconstruction residual (O(n³), full-L slices resident)
+    exceeds HBM beyond N≈8192. Same probe/gate contract as the packed
+    and out-of-core frontier paths (streaming Freivalds)."""
+    import numpy as np
+
+    n = lh.shape[0]
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((probes, n)).astype(np.float32)
+    xth = jnp.asarray(x)
+    xtl = jnp.zeros_like(xth)
+    kw = dict(s=s, w=w, precise_deg=precise_deg, row_chunk=row_chunk)
+    # z = Lᵀ·x  (per probe: row i of z = Σ_j L[j,i]·x[j] → (Lᵀ)·x; compute
+    # as strips of Lᵀ — i.e. column strips of L — via the transposed pair)
+    zh, zl = _matvec_df64(lh.T, ll.T, xth, xtl, **kw)
+    # wv = L·z
+    wh, wl = _matvec_df64(lh, ll, zh.T, zl.T, **kw)
+    # y = A·x
+    yh, yl = _matvec_df64(ah, al, xth, xtl, **kw)
+    rh, rl = df_sub(yh, yl, wh, wl)
+    num = jnp.max(jnp.abs(rh.astype(_F32) + rl.astype(_F32)))
+    anorm = jax.jit(_df64_rowsum_max)(ah, al)
+    xnorm = jnp.max(jnp.abs(xth))
+    return num / (anorm * xnorm)
+
+
 @functools.partial(jax.jit, static_argnames=("s", "w"))
 def _jit_slices(lh, ll, *, s, w):
     return tuple(slice_rows(lh, ll, s=s, w=w)[0])

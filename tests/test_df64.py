@@ -267,6 +267,25 @@ class TestPotrfDf64:
             potrf_df64(jnp.eye(100, dtype=jnp.float32),
                        jnp.zeros((100, 100), jnp.float32), nb=64)
 
+    def test_freivalds_df64_tracks_and_discriminates(self):
+        """The streaming df64 Freivalds gate (frontier-size validation:
+        O(n²) matvecs, strip-bounded slice memory) must track the exact
+        residual's decade and catch a corrupted factor."""
+        from dla_tpu.algos.potrf_df64 import (
+            freivalds_potrf_df64, potrf_df64,
+        )
+
+        n = 512
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        ah, al = D.to_df64(a)
+        lh, ll = potrf_df64(ah, al, nb=128)
+        fr = float(freivalds_potrf_df64(lh, ll, ah, al, row_chunk=256))
+        assert fr < 1e-11, fr
+        bad = lh.at[5, 3].add(np.float32(1e-4))
+        fr_bad = float(freivalds_potrf_df64(bad, ll, ah, al, row_chunk=256))
+        assert fr_bad > 1e-9, fr_bad
+
     def test_potrs_df64_meets_posv_gate(self):
         """The fp64-contract SOLVE on the accelerator dtype path: factor
         + solve entirely in df64 must meet the reference's 1e-10 posv
