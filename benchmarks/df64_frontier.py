@@ -60,26 +60,47 @@ def main():
     s = int(os.environ.get("DF64F_S", 7))
     sizes = [int(x) for x in os.environ.get(
         "DF64F_SIZES", "24576,32768").split(",")]
+    # donate the pair: without donation XLA holds input AND output pairs
+    # (2 × 2 × 4·N² bytes) and the N=24576 run OOMed HBM at runtime
+    # (first-cut probe). The library-level potrf_df64 never donates (tests
+    # reuse operands); the probe jits the unwrapped function with
+    # donate_argnums and regenerates the (cheap, on-device) input per
+    # iteration — the same pattern as the driver's inplace_regen path.
+    import functools as _ft
+
+    fac = jax.jit(
+        potrf_df64.__wrapped__,
+        static_argnames=("nb", "refine", "s", "w", "precise_deg",
+                         "trailing_strips", "trailing", "tb"),
+        donate_argnums=(0, 1),
+    )
     for n in sizes:
         tag = f"df64 frontier N={n} s={s} pallas tb=512"
         try:
             gen = jax.jit(
                 lambda _n=n: plgsy(_n, bump=float(_n), seed=51,
                                    dtype=jnp.float32))
-            ah = gen()
-            al = jnp.zeros_like(ah)
+            zeros = jax.jit(jnp.zeros_like)
+
+            def fresh(_gen=gen, _z=zeros):
+                h = _gen()
+                return h, _z(h)
+
+            ah, al = fresh()
             _ = float(ah[0, 0])
             t0 = time.perf_counter()
-            lh, ll = potrf_df64(ah, al, nb=1024, s=s,
-                                trailing="pallas", tb=512)
+            lh, ll = fac(ah, al, nb=1024, s=s, trailing="pallas", tb=512)
             _ = float(lh[n - 1, n - 1])
             compile_s = time.perf_counter() - t0
             log(f"[{tag}] compile+first: {compile_s:.1f}s")
             times = []
             for _i in range(3):
+                lh = ll = None
+                ah, al = fresh()  # un-timed (reference times dpotrf only)
+                _ = float(ah[0, 0])
                 t0 = time.perf_counter()
-                lh, ll = potrf_df64(ah, al, nb=1024, s=s,
-                                    trailing="pallas", tb=512)
+                lh, ll = fac(ah, al, nb=1024, s=s,
+                             trailing="pallas", tb=512)
                 _ = float(lh[n - 1, n - 1])
                 times.append(time.perf_counter() - t0)
                 log(f"[{tag}] iter: {times[-1]:.3f}s -> "
@@ -94,16 +115,19 @@ def main():
                    "compile_s": round(compile_s, 1)}
             try:
                 # streaming df64 Freivalds — the frontier-size residual
-                # certification (O(n²) matvecs, strip-bounded slices)
+                # certification (O(n²) matvecs, strip-bounded slices;
+                # al=None: A is exactly fp32, no (n,n) zeros plane needed)
                 from dla_tpu.algos.potrf_df64 import freivalds_potrf_df64
 
-                fr = float(freivalds_potrf_df64(lh, ll, ah, al, s=s))
+                ah = gen()  # the timed runs donated every input pair
+                _ = float(ah[0, 0])
+                fr = float(freivalds_potrf_df64(lh, ll, ah, None, s=s))
                 row["freivalds_df64"] = fr
                 row["gate_1e10"] = "PASS" if fr < 1e-10 else "FAIL"
             except Exception as e:  # noqa: BLE001
                 row["freivalds_error"] = f"{type(e).__name__}: {str(e)[:200]}"
             emit(row)
-            del ah, al, lh, ll
+            ah = al = lh = ll = None
         except Exception as e:  # noqa: BLE001
             emit({"kind": "df64_frontier", "n": n, "s": s,
                   "error": f"{type(e).__name__}: {str(e)[:300]}"})

@@ -246,10 +246,16 @@ def potrs_df64(
     return refine_solve(yh, yl, True, lh.T, ll.T)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "w", "precise_deg"))
-def _matvec_strip_df64(mh_s, ml_s, xth, xtl, *, s, w, precise_deg):
+@functools.partial(
+    jax.jit, static_argnames=("s", "w", "precise_deg", "lo_is_zero"))
+def _matvec_strip_df64(mh_s, ml_s, xth, xtl, *, s, w, precise_deg,
+                       lo_is_zero=False):
     """(strip, k) df64 · (k,) df64 probes — one strip of a df64 matvec
-    (slices computed per strip: O(strip·k) transient memory)."""
+    (slices computed per strip: O(strip·k) transient memory).
+    ``lo_is_zero`` synthesizes the lo plane inside the jit (strip-sized)
+    so an exactly-fp32 matrix never materializes an (n, n) zeros array."""
+    if lo_is_zero:
+        ml_s = jnp.zeros_like(mh_s)
     return df64_matmul_nt(mh_s, ml_s, xth, xtl,
                           s=s, w=w, precise_deg=precise_deg)
 
@@ -257,21 +263,22 @@ def _matvec_strip_df64(mh_s, ml_s, xth, xtl, *, s, w, precise_deg):
 def _matvec_df64(mh, ml, xth, xtl, *, s, w, precise_deg, row_chunk):
     """Full df64 matvec M·X (X given transposed: (nrhs, k) pair) by
     jitted row strips — keeps slice memory O(row_chunk·k), which is what
-    lets frontier-size factors be validated on a 16 GiB chip."""
+    lets frontier-size factors be validated on a 16 GiB chip.
+    ``ml=None`` means the lo plane is exactly zero."""
     m = mh.shape[0]
     outs_h, outs_l = [], []
     for r0 in range(0, m, row_chunk):
         r1 = min(m, r0 + row_chunk)
         h, l = _matvec_strip_df64(
-            mh[r0:r1], ml[r0:r1], xth, xtl,
-            s=s, w=w, precise_deg=precise_deg)
+            mh[r0:r1], mh[r0:r1] if ml is None else ml[r0:r1], xth, xtl,
+            s=s, w=w, precise_deg=precise_deg, lo_is_zero=ml is None)
         outs_h.append(h)
         outs_l.append(l)
     return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
 
 
 def freivalds_potrf_df64(
-    lh, ll, ah, al, *, probes: int = 2, seed: int = 71,
+    lh, ll, ah, al=None, *, probes: int = 2, seed: int = 71,
     s: int = 7, w: int = 8, precise_deg: int = 3, row_chunk: int = 1024,
 ) -> jax.Array:
     """Streaming Freivalds gate for a df64 factor at frontier sizes:
@@ -293,11 +300,25 @@ def freivalds_potrf_df64(
     zh, zl = _matvec_df64(lh.T, ll.T, xth, xtl, **kw)
     # wv = L·z
     wh, wl = _matvec_df64(lh, ll, zh.T, zl.T, **kw)
-    # y = A·x
+    # y = A·x (al=None: A is exactly fp32 — frontier probe inputs)
     yh, yl = _matvec_df64(ah, al, xth, xtl, **kw)
     rh, rl = df_sub(yh, yl, wh, wl)
     num = jnp.max(jnp.abs(rh.astype(_F32) + rl.astype(_F32)))
-    anorm = jax.jit(_df64_rowsum_max)(ah, al)
+    if al is None:
+        # column-fold (fori) — a fused abs+sum would be one line, but at
+        # frontier sizes XLA materialized the |A| plane (4.3 GiB at
+        # N=32768) on top of the 12.9 GiB resident set and OOMed
+        def _rowsum1(h):
+            def body(j, acc):
+                return acc + jnp.abs(h[:, j])
+
+            return jnp.max(lax.fori_loop(
+                0, h.shape[1], body,
+                jnp.zeros((h.shape[0],), _F32)))
+
+        anorm = jax.jit(_rowsum1)(ah)
+    else:
+        anorm = jax.jit(_df64_rowsum_max)(ah, al)
     xnorm = jnp.max(jnp.abs(xth))
     return num / (anorm * xnorm)
 
