@@ -187,6 +187,68 @@ def potrf_df64(
     return jnp.tril(ah), jnp.tril(al)
 
 
+def potrf_packed_df64(
+    aph: jax.Array,
+    apl: jax.Array,
+    n: int,
+    nb: int,
+    *,
+    ktb: int = 512,
+    refine: int = 2,
+    s: int = 7,
+    w: int = 8,
+    precise_deg: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """Right-looking df64 POTRF **in packed space**: the (hi, lo) pair is
+    two column-slab packed lower triangles (``dla_tpu.algos.packed``
+    layout, slab width ``nb``), so the resident factor state is
+    n·(n+nb) bytes ≈ 4·n² instead of the dense pair's 8·n² — extending
+    the emulated-fp64 in-core frontier ~√2× (N=32768 dense → N≈49152
+    packed on a 15.75 GiB chip). Per step: df64 diagonal factor + df64
+    panel solve (reused from :func:`potrf_df64` — the slab's diagonal
+    block is re-symmetrized there, since the packed trailing kernel
+    updates lower-triangle tiles only), then ONE fused Pallas trailing
+    wave over the packed pair (``kernels/df64_tiles.
+    trailing_update_packed_df64``, kernel tile ``ktb``). Returns the
+    packed (Lh, Ll) pair; diagonal slabs carry stale upper-tile garbage
+    exactly like the fp32 ``potrf_packed`` — ``unpack_tri`` masks it.
+
+    Capability beyond the reference: its fp64 path is dense full-square
+    storage (``v6_test.c:41-47``); packed×df64 combines the two rebuild
+    extensions (triangle-only storage, on-chip 1e-10 factorization)."""
+    from dla_tpu.algos.packed import _check, _set_col, col_slab
+    from dla_tpu.kernels.df64_tiles import trailing_update_packed_df64
+
+    _check(n, nb)
+    if nb % ktb:
+        raise ValueError(f"need ktb | nb (nb={nb}, ktb={ktb})")
+    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+    nt = n // nb
+    aph = aph.astype(_F32)
+    apl = apl.astype(_F32)
+    for k in range(nt):
+        ch = col_slab(aph, k, n, nb)
+        cl = col_slab(apl, k, n, nb)
+        lkk_h, lkk_l = _factor_diag_df64(
+            ch[:nb], cl[:nb], refine=refine, gemm_kw=gemm_kw)
+        if k + 1 < nt:
+            xh, xl = _panel_solve_df64(
+                lkk_h, lkk_l, ch[nb:], cl[nb:],
+                refine=refine, gemm_kw=gemm_kw)
+            nc_h = jnp.concatenate([lkk_h, xh], axis=0)
+            nc_l = jnp.concatenate([lkk_l, xl], axis=0)
+        else:
+            nc_h, nc_l = lkk_h, lkk_l
+        aph = _set_col(aph, k, nc_h, n, nb)
+        apl = _set_col(apl, k, nc_l, n, nb)
+        if k + 1 < nt:
+            sx = slice_rows(xh, xl, s=s, w=w)[0]
+            aph, apl = trailing_update_packed_df64(
+                aph, apl, sx, n=n, nb=nb, k=k, tb=ktb, w=w,
+                precise_deg=precise_deg)
+    return aph, apl
+
+
 def _df64_rowsum_max(h, l):
     """max_i Σ_j (|h| + |l|)[i, j] with a compensated column fold — the
     df64-grade ∞-norm bound of a (hi, lo) matrix."""

@@ -48,9 +48,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _df64_trailing_kernel(i_ref, j_ref, ch_ref, cl_ref, *refs,
-                          s: int, precise_deg: int, nk: int):
-    del i_ref, j_ref  # consumed by the index maps
+def _df64_accum_body(ch_ref, cl_ref, refs, *, s: int, precise_deg: int,
+                     nk: int):
+    """Shared kernel body: C(hi,lo) ← C − P·Pᵀ pass loop, compensated
+    in-register (used by the dense and packed trailing wrappers, which
+    differ only in their scalar-prefetched index maps)."""
     # refs = s Pi slice refs + s Pj slice refs + (och_ref, ocl_ref)
     pi = refs[:s]
     pj = refs[s:2 * s]
@@ -88,6 +90,21 @@ def _df64_trailing_kernel(i_ref, j_ref, ch_ref, cl_ref, *refs,
     def _():
         och[:] = ah
         ocl[:] = al
+
+
+def _df64_trailing_kernel(i_ref, j_ref, ch_ref, cl_ref, *refs,
+                          s: int, precise_deg: int, nk: int):
+    del i_ref, j_ref  # consumed by the index maps
+    _df64_accum_body(ch_ref, cl_ref, refs, s=s, precise_deg=precise_deg,
+                     nk=nk)
+
+
+def _df64_trailing_packed_kernel(ci_ref, cc_ref, pi_ref, pj_ref,
+                                 ch_ref, cl_ref, *refs,
+                                 s: int, precise_deg: int, nk: int):
+    del ci_ref, cc_ref, pi_ref, pj_ref  # consumed by the index maps
+    _df64_accum_body(ch_ref, cl_ref, refs, s=s, precise_deg=precise_deg,
+                     nk=nk)
 
 
 def trailing_update_df64(
@@ -163,3 +180,89 @@ def trailing_update_df64(
         interpret=interpret,
         **kw,
     )(jnp.asarray(i_host), jnp.asarray(j_host), ch, cl, *slices, *slices)
+
+
+def trailing_update_packed_df64(
+    ph: jax.Array,
+    pl_: jax.Array,
+    slices: list[jax.Array],
+    *,
+    n: int,
+    nb: int,
+    k: int,
+    tb: int = 512,
+    w: int = 8,
+    precise_deg: int = 3,
+    interpret: bool | None = None,
+    vmem_limit_bytes: int | None = 100 * 2**20,
+) -> tuple[jax.Array, jax.Array]:
+    """df64 trailing update over the **column-slab packed** lower
+    triangle (``dla_tpu.algos.packed`` layout): packed(hi,lo)[trailing
+    tiles] ← packed − P·Pᵀ with P given as its ``s`` exact bf16 slices.
+    Same pass-loop body as :func:`trailing_update_df64`; only the
+    scalar-prefetched index maps differ (``_packed_pairs`` block
+    coordinates into the 2-D ``(rows, nb)`` packed pair). In place over
+    both planes (input/output aliased). ``nb`` is the packed slab width
+    (the formulation's panel), ``k`` the current slab index, ``tb`` the
+    kernel tile (``tb | nb``). The slices span the trailing rows
+    (n − (k+1)·nb, nb)."""
+    from dla_tpu.kernels.pallas_tiles import _packed_pairs
+
+    if pl_.shape != ph.shape:
+        raise ValueError("packed pair planes must match")
+    if n % nb or nb % tb:
+        raise ValueError(f"need tb | nb | n (n={n}, nb={nb}, tb={tb})")
+    s = len(slices)
+    h, pw = slices[0].shape
+    if h != n - (k + 1) * nb or pw != nb:
+        raise ValueError(
+            f"slice shape {(h, pw)} != {(n - (k + 1) * nb, nb)}")
+    kb = min(nb, max_exact_chunk(w))
+    if nb % kb:
+        raise ValueError(f"panel width {nb} not a multiple of chunk {kb}")
+    nk = nb // kb
+    interpret = _interpret() if interpret is None else interpret
+    ci, cc, pi, pj = _packed_pairs(n, nb, k, tb)
+    npairs = len(ci)
+
+    def cmap(g, ks, ci, cc, pi, pj):
+        return (ci[g], cc[g])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(npairs, nk),
+        in_specs=(
+            [pl.BlockSpec((tb, tb), cmap)] * 2
+            + [pl.BlockSpec((tb, kb),
+                            lambda g, ks, ci, cc, pi, pj: (pi[g], ks))] * s
+            + [pl.BlockSpec((tb, kb),
+                            lambda g, ks, ci, cc, pi, pj: (pj[g], ks))] * s
+        ),
+        out_specs=(
+            pl.BlockSpec((tb, tb), cmap),
+            pl.BlockSpec((tb, tb), cmap),
+        ),
+    )
+    flops = 2 * npairs * tb * tb * nb * (s * (s + 1) // 2)
+    kw = {"input_output_aliases": {4: 0, 5: 1}}
+    if vmem_limit_bytes is not None:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes)
+    return pl.pallas_call(
+        functools.partial(
+            _df64_trailing_packed_kernel, s=s, precise_deg=precise_deg,
+            nk=nk),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(ph.shape, _F32),
+            jax.ShapeDtypeStruct(pl_.shape, _F32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(npairs * tb * tb * 16 + 2 * s * h * nb * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **kw,
+    )(jnp.asarray(ci), jnp.asarray(cc), jnp.asarray(pi), jnp.asarray(pj),
+      ph, pl_, *slices, *slices)

@@ -303,3 +303,75 @@ class TestPotrfDf64:
         x = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
         res = np.abs(b - a @ x).max() / (np.abs(a).max() * np.abs(x).max())
         assert res < 1e-12, res  # 1e-10 gate with margin
+
+
+class TestPotrfPackedDf64:
+    """packed × df64: the triangle-only-storage emulated-fp64 factor
+    (the √2 frontier extension over the dense df64 pair)."""
+
+    def _spd(self, n):
+        g = rng.standard_normal((n, n))
+        return (g + g.T) / 2 + n * np.eye(n)
+
+    @pytest.mark.parametrize("n,nb,ktb", [(512, 128, 128), (768, 256, 128)])
+    def test_vs_scipy_fp64(self, n, nb, ktb):
+        import scipy.linalg
+
+        from dla_tpu.algos.packed import pack_tri, unpack_tri
+        from dla_tpu.algos.potrf_df64 import potrf_packed_df64
+
+        a = self._spd(n)
+        ah, al = D.to_df64(a)
+        lph, lpl = potrf_packed_df64(
+            pack_tri(ah, nb), pack_tri(al, nb), n, nb, ktb=ktb)
+        lh = unpack_tri(lph, n, nb)
+        ll = unpack_tri(lpl, n, nb)
+        l = np.asarray(D.from_df64(lh, ll))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        ferr = np.max(np.abs(l - ref)) / np.max(np.abs(ref))
+        assert ferr < 1e-12, ferr
+        res = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res  # the reference's 1e-10 gate, with margin
+
+    def test_matches_dense_df64(self):
+        """Same pass loop, same tile visit order — the packed factor must
+        match the dense pallas-trailing factor to accumulation noise."""
+        from dla_tpu.algos.packed import pack_tri, unpack_tri
+        from dla_tpu.algos.potrf_df64 import potrf_df64, potrf_packed_df64
+
+        n, nb, ktb = 512, 128, 128
+        a = self._spd(n)
+        ah, al = D.to_df64(a)
+        dh, dl = potrf_df64(ah, al, nb=nb, trailing="pallas", tb=ktb)
+        lph, lpl = potrf_packed_df64(
+            pack_tri(ah, nb), pack_tri(al, nb), n, nb, ktb=ktb)
+        d = np.asarray(D.from_df64(dh, dl))
+        p = np.asarray(D.from_df64(unpack_tri(lph, n, nb),
+                                   unpack_tri(lpl, n, nb)))
+        np.testing.assert_allclose(p, d, rtol=0, atol=1e-9)
+
+    def test_plgsy_packed_pair_input(self):
+        """The frontier input path: device-generated exactly-fp32 packed
+        A (lo = 0) — factor straight from ``plgsy_packed`` planes, gate
+        against the dense fp64 reconstruction."""
+        from dla_tpu.algos.packed import plgsy_packed, unpack_tri
+        from dla_tpu.algos.potrf_df64 import potrf_packed_df64
+        from dla_tpu.ops import plgsy
+
+        n, nb = 512, 128
+        aph = plgsy_packed(n, nb, seed=51)
+        lph, lpl = potrf_packed_df64(
+            aph, jnp.zeros_like(aph), n, nb, ktb=128)
+        l = np.asarray(D.from_df64(unpack_tri(lph, n, nb),
+                                   unpack_tri(lpl, n, nb)))
+        a = np.asarray(plgsy(n, bump=float(n), seed=51), np.float64)
+        a = np.tril(a) + np.tril(a, -1).T  # the factor reproduces tril(A)
+        res = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res
+
+    def test_rejects_bad_tiles(self):
+        from dla_tpu.algos.potrf_df64 import potrf_packed_df64
+
+        z = jnp.zeros((640, 128), jnp.float32)
+        with pytest.raises(ValueError, match="ktb"):
+            potrf_packed_df64(z, z, 512, 128, ktb=96)
