@@ -61,11 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--mode",
         choices=["blocked", "masked", "shrink", "inplace", "packed",
-                 "df64", "distributed"],
+                 "df64", "df64-packed", "distributed"],
         default=None,
         help="df64 = emulated-fp64 factorization on the accelerator "
         "(double-word fp32 storage, exact-sliced bf16 MXU passes — "
-        "algos/potrf_df64.py; meets the reference's 1e-10 gate ON CHIP)",
+        "algos/potrf_df64.py; meets the reference's 1e-10 gate ON CHIP). "
+        "df64-packed = the same contract on triangle-only storage "
+        "(4·N² resident bytes instead of the dense pair's 8·N² — the "
+        "√2 df64 frontier extension)",
     )
     ap.add_argument(
         "--panel", choices=["xla", "pallas", "invgemm", "blocktrsm"],
@@ -256,7 +259,8 @@ def main(argv=None) -> int:
         and cfg.uplo == "L" and cfg.gen == "plgsy" and not is_complex
     )
 
-    df64_mode = cfg.mode == "df64"
+    df64_mode = cfg.mode in ("df64", "df64-packed")
+    df64_packed = cfg.mode == "df64-packed"
     if packed_pure or df64_mode:
         a = None  # df64 handles its own host-side fp64 input/generation
     elif args.input:
@@ -410,38 +414,85 @@ def main(argv=None) -> int:
         if jnp.dtype(cfg.dtype) != jnp.float64:
             # the mode IS the fp64 contract: validate at the 1e-10 gate
             cfg = dataclasses.replace(cfg, dtype="float64")
-        if args.input:
-            if args.input.endswith(".npz"):
-                with np.load(args.input) as z:
-                    a64 = z["a" if "a" in z.files else z.files[0]]
-            elif args.input.endswith(".npy"):
-                a64 = np.load(args.input)
-            else:
-                a64 = np.fromfile(args.input, np.float64)
-            a64 = np.asarray(a64, np.float64).reshape(cfg.n, cfg.n)
-        elif view is None and cfg.gen == "plgsy":
-            from dla_tpu.runtime.staging import HostTileStore
-
-            st = HostTileStore(cfg.n, np.float64)
-            st.fill_plgsy(seed=cfg.seed, bump=bump)
-            a64 = st.array.copy()
-            st.close()
-        else:
-            print("[dla-potrf] --mode df64 needs the plgsy generator or "
-                  "--input")
-            return 2
         df64_slices = args.slices or 7  # s=6 sits AT the 1e-10 gate by N=4096 (probe)
         df64_trailing = args.trailing  # 'pallas' = fused in-VMEM pass loop,
         # 1.43x at N=16384 with identical residuals (df64_trailing_ab.log)
-        ah, al = to_df64(a64)
-        _ = float(ah[0, 0]) + float(al[0, 0])
+        # pure packed-df64 path: exactly-fp32 device generation (lo = 0),
+        # no host fp64 square — the √2 frontier point this mode exists
+        # for (the dense pair alone is 8·N² bytes)
+        df64_pure = (df64_packed and not args.input and view is None
+                     and cfg.gen == "plgsy")
+        if df64_pure:
+            ah = al = None  # validation regenerates A on device
+        else:
+            if args.input:
+                if args.input.endswith(".npz"):
+                    with np.load(args.input) as z:
+                        a64 = z["a" if "a" in z.files else z.files[0]]
+                elif args.input.endswith(".npy"):
+                    a64 = np.load(args.input)
+                else:
+                    a64 = np.fromfile(args.input, np.float64)
+                a64 = np.asarray(a64, np.float64).reshape(cfg.n, cfg.n)
+            elif view is None and cfg.gen == "plgsy":
+                from dla_tpu.runtime.staging import HostTileStore
 
-        def run():
-            lh, ll = potrf_df64(ah, al, nb=cfg.nb, s=df64_slices,
-                                trailing=df64_trailing,
-                                tb=min(512, cfg.nb))
-            _ = float(jnp.real(lh[cfg.n - 1, cfg.n - 1]))
-            return (lh, ll)
+                st = HostTileStore(cfg.n, np.float64)
+                st.fill_plgsy(seed=cfg.seed, bump=bump)
+                a64 = st.array.copy()
+                st.close()
+            else:
+                print("[dla-potrf] --mode df64 needs the plgsy generator "
+                      "or --input")
+                return 2
+            ah, al = to_df64(a64)
+            _ = float(ah[0, 0]) + float(al[0, 0])
+
+        if df64_packed:
+            import functools as _ft
+
+            from dla_tpu.algos.packed import pack_tri, plgsy_packed
+            from dla_tpu.algos.potrf_df64 import potrf_packed_df64
+
+            fac_p = jax.jit(
+                _ft.partial(potrf_packed_df64, n=cfg.n, nb=cfg.nb,
+                            ktb=min(512, cfg.nb), s=df64_slices),
+                donate_argnums=(0, 1),
+            )
+            if df64_pure:
+                gen_p = jax.jit(lambda: plgsy_packed(
+                    cfg.n, cfg.nb, bump=bump, seed=cfg.seed,
+                    dtype=jnp.float32))
+
+                def fresh_pair():
+                    h = gen_p()
+                    return h, jax.jit(jnp.zeros_like)(h)
+            else:
+                pk = jax.jit(pack_tri, static_argnames=("tb",))
+
+                def fresh_pair():
+                    return pk(ah, tb=cfg.nb), pk(al, tb=cfg.nb)
+
+            box = {"p": fresh_pair()}
+
+            def prep():
+                if box["p"] is None:
+                    box["p"] = fresh_pair()
+
+            def run():
+                ph, pl_ = box["p"]
+                box["p"] = None
+                lph, lpl = fac_p(ph, pl_)
+                _ = float(lph[cfg.n // cfg.nb, 0])
+                return (lph, lpl)
+
+        else:
+            def run():
+                lh, ll = potrf_df64(ah, al, nb=cfg.nb, s=df64_slices,
+                                    trailing=df64_trailing,
+                                    tb=min(512, cfg.nb))
+                _ = float(jnp.real(lh[cfg.n - 1, cfg.n - 1]))
+                return (lh, ll)
 
     elif args.checked:
         from dla_tpu.validate.checked import potrf_checked
@@ -580,6 +631,22 @@ def main(argv=None) -> int:
         # gate (O(n²) matvecs) — the frontier contract every other large-N
         # path uses.
         lh, ll = l
+        if df64_packed:
+            # unpack the factor pair (packed freed after), and for the
+            # pure path regenerate the exactly-fp32 dense A on device
+            # (lo = 0 — the streaming gate takes al=None)
+            from dla_tpu.algos.packed import unpack_tri
+
+            unp = jax.jit(unpack_tri, static_argnames=("n", "tb"))
+            lh = unp(lh, n=cfg.n, tb=cfg.nb)
+            ll = unp(ll, n=cfg.n, tb=cfg.nb)
+            l = (lh, ll)
+            if ah is None:
+                from dla_tpu.ops import plgsy
+
+                ah = jax.jit(lambda: plgsy(
+                    cfg.n, bump=bump, seed=cfg.seed, dtype=jnp.float32))()
+                al = None
         if cfg.n > 8192:
             from dla_tpu.algos.potrf_df64 import freivalds_potrf_df64
 
@@ -590,6 +657,8 @@ def main(argv=None) -> int:
         else:
             from dla_tpu.algos.potrf_df64 import residual_potrf_df64
 
+            if al is None:
+                al = jax.jit(jnp.zeros_like)(ah)
             res = float(residual_potrf_df64(ah, al, lh, ll, s=df64_slices))
             print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
     if cfg.check and inplace_regen:

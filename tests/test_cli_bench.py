@@ -217,6 +217,36 @@ class TestDriverEndToEnd:
         assert r.returncode == 0, r.stdout + r.stderr
         assert "PASS (residual < 1e-10)" in r.stdout
 
+    def test_driver_df64_packed_pure(self):
+        """--mode df64-packed, pure path: triangle-only df64 storage with
+        device generation (no host fp64 square) must meet the 1e-10 gate
+        through the standard contract lines."""
+        r = _run(
+            [sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+             "--n", "256", "--nb", "64", "--mode", "df64-packed",
+             "--platform", "cpu"]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "Performance:" in r.stdout
+        assert "PASS (residual < 1e-10)" in r.stdout
+
+    def test_driver_df64_packed_user_input(self, tmp_path):
+        import numpy as np
+
+        n = 192
+        rng = np.random.default_rng(5)
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        p = tmp_path / "a64p.npy"
+        np.save(p, a)
+        r = _run(
+            [sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+             "--n", str(n), "--nb", "64", "--mode", "df64-packed",
+             "--input", str(p), "--platform", "cpu"]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "PASS (residual < 1e-10)" in r.stdout
+
     def test_driver_user_input_rejections(self, tmp_path):
         import numpy as np
 
