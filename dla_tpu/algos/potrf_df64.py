@@ -249,6 +249,89 @@ def potrf_packed_df64(
     return aph, apl
 
 
+def trmm_packed_df64(
+    lph: jax.Array,
+    lpl: jax.Array,
+    xh: jax.Array,
+    xl: jax.Array,
+    n: int,
+    nb: int,
+    *,
+    trans: bool = False,
+    s: int = 7,
+    w: int = 8,
+    precise_deg: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """Y = L·X (or Lᵀ·X) in df64 from the **packed** factor pair — one
+    df64 GEMM per column slab, accumulated with compensated adds (the
+    packed df64 ``dtrmm``; the residual engine of the packed df64 solve).
+    X is an (n, nrhs) df64 pair."""
+    from dla_tpu.algos.packed import _check, col_slab
+
+    _check(n, nb)
+    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+    nt = n // nb
+    yh = jnp.zeros_like(xh)
+    yl = jnp.zeros_like(xl)
+    for j in range(nt):
+        ch = col_slab(lph, j, n, nb)
+        cl = col_slab(lpl, j, n, nb)
+        if not trans:
+            # y[j·nb:] += colj · x_j
+            ph, pl = df64_matmul_nt(
+                ch, cl, xh[j * nb:(j + 1) * nb].T,
+                xl[j * nb:(j + 1) * nb].T, **gemm_kw)
+            ah, al_ = df_add(yh[j * nb:], yl[j * nb:], ph, pl)
+            yh = yh.at[j * nb:].set(ah)
+            yl = yl.at[j * nb:].set(al_)
+        else:
+            # y_j += coljᵀ · x[j·nb:]
+            ph, pl = df64_matmul_nt(
+                ch.T, cl.T, xh[j * nb:].T, xl[j * nb:].T, **gemm_kw)
+            ah, al_ = df_add(
+                yh[j * nb:(j + 1) * nb], yl[j * nb:(j + 1) * nb], ph, pl)
+            yh = yh.at[j * nb:(j + 1) * nb].set(ah)
+            yl = yl.at[j * nb:(j + 1) * nb].set(al_)
+    return yh, yl
+
+
+def potrs_packed_df64(
+    lph: jax.Array,
+    lpl: jax.Array,
+    bh: jax.Array,
+    bl: jax.Array,
+    n: int,
+    nb: int,
+    *,
+    refine: int = 2,
+    s: int = 7,
+    w: int = 8,
+    precise_deg: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve L·Lᵀ·X = B in df64 **from the packed factor pair** — the
+    fp64-contract solve at packed-frontier sizes where the dense pair
+    cannot be unpacked next to B. fp32 packed substitution
+    (:func:`dla_tpu.algos.packed.potrs_packed` on the hi plane) +
+    ``refine`` steps of df64-residual correction, each one packed df64
+    L·(Lᵀ·x) reconstruction (:func:`trmm_packed_df64`) and one fp32
+    substitution — the same O(eps32)→O(eps32²) scheme as the dense
+    :func:`potrs_df64`. B is an (n, nrhs) df64 pair."""
+    from dla_tpu.algos.packed import potrs_packed
+
+    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+    xh = potrs_packed(lph, bh, n, nb)
+    xl = jnp.zeros_like(xh)
+    for _ in range(refine):
+        th, tl = trmm_packed_df64(
+            lph, lpl, xh, xl, n, nb, trans=True, **gemm_kw)
+        ph, pl = trmm_packed_df64(
+            lph, lpl, th, tl, n, nb, trans=False, **gemm_kw)
+        rh, rl = df_sub(bh, bl, ph, pl)
+        dx = potrs_packed(lph, rh, n, nb)
+        xh, xl = df_add(xh, xl, dx, jnp.zeros_like(dx))
+    return xh, xl
+
+
 def _df64_rowsum_max(h, l):
     """max_i Σ_j (|h| + |l|)[i, j] with a compensated column fold — the
     df64-grade ∞-norm bound of a (hi, lo) matrix."""

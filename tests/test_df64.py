@@ -375,3 +375,43 @@ class TestPotrfPackedDf64:
         z = jnp.zeros((640, 128), jnp.float32)
         with pytest.raises(ValueError, match="ktb"):
             potrf_packed_df64(z, z, 512, 128, ktb=96)
+
+    def test_potrs_packed_df64_meets_posv_gate(self):
+        """Factor + solve entirely in df64 ON PACKED STORAGE must meet
+        the reference's 1e-10 posv gate (v6_test.c:87) vs true fp64 —
+        the frontier-size solve where the dense pair cannot be unpacked
+        next to B."""
+        from dla_tpu.algos.packed import pack_tri
+        from dla_tpu.algos.potrf_df64 import (
+            potrf_packed_df64, potrs_packed_df64,
+        )
+
+        n, nb, nrhs = 512, 128, 4
+        a = self._spd(n)
+        b = rng.standard_normal((n, nrhs))
+        ah, al = D.to_df64(a)
+        bh, bl = D.to_df64(b)
+        lph, lpl = potrf_packed_df64(
+            pack_tri(ah, nb), pack_tri(al, nb), n, nb, ktb=128)
+        xh, xl = potrs_packed_df64(lph, lpl, bh, bl, n, nb)
+        x = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        res = np.abs(b - a @ x).max() / (np.abs(a).max() * np.abs(x).max())
+        assert res < 1e-12, res  # 1e-10 gate with margin
+
+    def test_trmm_packed_df64_matches_fp64(self):
+        from dla_tpu.algos.packed import pack_tri
+        from dla_tpu.algos.potrf_df64 import trmm_packed_df64
+
+        n, nb, p = 384, 128, 3
+        lt = np.tril(rng.standard_normal((n, n)))
+        x = rng.standard_normal((n, p))
+        lh, ll = D.to_df64(lt)
+        xh, xl = D.to_df64(x)
+        for trans in (False, True):
+            yh, yl = trmm_packed_df64(
+                pack_tri(lh, nb), pack_tri(ll, nb), xh, xl, n, nb,
+                trans=trans)
+            y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+            ref = (lt.T if trans else lt) @ x
+            err = np.abs(y - ref).max() / np.abs(ref).max()
+            assert err < 1e-13, (trans, err)
