@@ -58,7 +58,8 @@ def main():
     log(f"device warmup: {time.perf_counter() - t0:.1f}s")
 
     s = int(os.environ.get("DF64PF_S", 7))
-    nb, ktb = 1024, 512
+    nb = int(os.environ.get("DF64PF_NB", 1024))
+    ktb = int(os.environ.get("DF64PF_KTB", 512))
     sizes = [int(x) for x in os.environ.get(
         "DF64PF_SIZES", "24576,32768,40960,49152").split(",")]
     gate_max = int(os.environ.get("DF64PF_GATE_MAX", 24576))
