@@ -398,6 +398,33 @@ class TestPotrfPackedDf64:
         res = np.abs(b - a @ x).max() / (np.abs(a).max() * np.abs(x).max())
         assert res < 1e-12, res  # 1e-10 gate with margin
 
+    def test_packed_kernel_kchunks_match_fp64(self):
+        """The packed pass-loop kernel with nk > 1 k-chunks (w=9 forces
+        chunk=256 < nb=512) — the configuration the on-chip nb=2048
+        frontier runs (kb=1024, nk=2) at CPU-testable size."""
+        from dla_tpu.algos.packed import pack_tri, unpack_tri
+        from dla_tpu.kernels.df64_tiles import trailing_update_packed_df64
+        from dla_tpu.ops.df64 import max_exact_chunk
+
+        n, nb, tb, k = 1024, 512, 128, 0
+        assert nb > max_exact_chunk(9)
+        a = self._spd(n)
+        p = rng.standard_normal((n - (k + 1) * nb, nb))
+        ah, al = D.to_df64(a)
+        aph, apl = pack_tri(ah, nb), pack_tri(al, nb)
+        ph, plo = D.to_df64(p)
+        sx = D.slice_rows(ph, plo, s=6, w=9)[0]
+        oh, ol = trailing_update_packed_df64(
+            aph, apl, list(sx), n=n, nb=nb, k=k, tb=tb, w=9)
+        got = (np.asarray(unpack_tri(oh, n, nb), np.float64)
+               + np.asarray(unpack_tri(ol, n, nb), np.float64))
+        a_df = np.asarray(ah, np.float64) + np.asarray(al, np.float64)
+        ref = np.tril(a_df)
+        o = (k + 1) * nb
+        ref[o:, o:] -= np.tril(p @ p.T)
+        # slab k passes through untouched; trailing lower tiles updated
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
+
     def test_trmm_packed_df64_matches_fp64(self):
         from dla_tpu.algos.packed import pack_tri
         from dla_tpu.algos.potrf_df64 import trmm_packed_df64
