@@ -20,8 +20,11 @@ from dla_tpu.algos.packed import (  # noqa: F401
 from dla_tpu.algos.potrf_df64 import (  # noqa: F401
     freivalds_potrf_df64,
     potrf_df64,
+    potrf_packed_df64,
     potrs_df64,
+    potrs_packed_df64,
     residual_potrf_df64,
+    trmm_packed_df64,
 )
 from dla_tpu.algos.potri import (  # noqa: F401
     potri,
