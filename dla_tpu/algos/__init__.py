@@ -24,6 +24,7 @@ from dla_tpu.algos.potrf_df64 import (  # noqa: F401
     potrs_df64,
     potrs_packed_df64,
     residual_potrf_df64,
+    residual_potrf_df64_blocked,
     trmm_packed_df64,
 )
 from dla_tpu.algos.potri import (  # noqa: F401

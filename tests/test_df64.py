@@ -246,6 +246,38 @@ class TestPotrfDf64:
         assert res64 < resdev < 50 * res64 + 1e-13, (res64, resdev)
         assert resdev < 1e-10  # the gate, measured entirely on device
 
+    def test_blocked_residual_matches_strip_path(self):
+        """The block-tiled residual (never holds the full slice set —
+        the HBM-feasible path past N=8192 on chip) agrees with the
+        strip path and the host fp64 truth, including ragged strips
+        and stale-upper factors (the tril mask must neutralize them)."""
+        from dla_tpu.algos.potrf_df64 import (
+            potrf_df64,
+            residual_potrf_df64,
+            residual_potrf_df64_blocked,
+        )
+
+        n = 384
+        g = rng.standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
+        ah, al = D.to_df64(a)
+        lh, ll = potrf_df64(ah, al, nb=128)
+        # poison the strict upper triangle: the blocked path masks it
+        iu = np.triu_indices(n, 1)
+        lh_st = np.asarray(lh).copy()
+        lh_st[iu] = 7.0
+        l = np.asarray(D.from_df64(lh, ll))
+        res64 = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        res_strip = float(residual_potrf_df64(ah, al, lh, ll))
+        for rc in (128, 160):  # 160: ragged last strip (384 = 2*160+64)
+            res_blk = residual_potrf_df64_blocked(
+                ah, al, jnp.asarray(lh_st), ll, rc=rc)
+            assert res_blk < 1e-10, (rc, res_blk)
+            # same |h|+|l| overbound, same decade as both other paths
+            assert abs(res_blk - res_strip) < 0.5 * res_strip + 1e-14, (
+                rc, res_blk, res_strip)
+            assert res64 < res_blk < 50 * res64 + 1e-13, (rc, res_blk)
+
     def test_s7_tightens_the_floor(self):
         from dla_tpu.algos.potrf_df64 import potrf_df64
 
