@@ -529,21 +529,30 @@ def _slice_strip_tril(lh_s, ll_s, r0, *, s, w):
     return tuple(slice_rows(zh, zl, s=s, w=w)[0])
 
 
-@functools.partial(jax.jit, static_argnames=("s", "w", "precise_deg"))
-def _residual_block(ah_b, al_b, si, sj, *, s, w, precise_deg):
+@functools.partial(
+    jax.jit, static_argnames=("s", "w", "precise_deg", "has_al"))
+def _residual_block(ah_b, al_b, si, sj, *, s, w, precise_deg, has_al):
     """One (rc, rc) block of |A − L·Lᵀ| (|h|+|l| overbound, matching
-    `_df64_rowsum_max`): returns (row sums, column sums) in fp32."""
+    `_df64_rowsum_max`): returns (row sums, column sums) in fp32.
+    ``has_al=False``: A is exactly fp32 (frontier probe inputs) — its lo
+    plane is identically zero and is synthesized per block instead of
+    held as an (n, n) zeros array in HBM."""
     ph, pl = df64_matmul_nt(
         None, None, None, None, slices_a=list(si), slices_b=list(sj),
         s=s, w=w, precise_deg=precise_deg)
+    if not has_al:
+        al_b = jnp.zeros_like(ah_b)
     rh, rl = df_sub(ah_b, al_b, ph, pl)
     r = jnp.abs(rh) + jnp.abs(rl)
     return jnp.sum(r, axis=1), jnp.sum(r, axis=0)
 
 
-@jax.jit
-def _strip_abs_rowsums(h, l):
-    return jnp.sum(jnp.abs(h) + jnp.abs(l), axis=1)
+@functools.partial(jax.jit, static_argnames=("has_al",))
+def _strip_abs_rowsums(h, l, *, has_al):
+    a = jnp.abs(h)
+    if has_al:
+        a = a + jnp.abs(l)
+    return jnp.sum(a, axis=1)
 
 
 def residual_potrf_df64_blocked(
@@ -569,26 +578,32 @@ def residual_potrf_df64_blocked(
     resolution). Three compiled programs total regardless of n (strip
     slicing, block residual, A-norm strip), each re-invoked from the
     host — sized for this environment's remote-compile limits (see
-    :func:`residual_potrf_df64`'s history note)."""
+    :func:`residual_potrf_df64`'s history note). ``al=None``: A is
+    exactly fp32 (device-generated frontier inputs) — no (n, n) zeros
+    plane is allocated."""
     import numpy as np
 
     n = ah.shape[0]
     rc = min(rc, n)
     nst = -(-n // rc)
+    has_al = al is not None
     rowsum = np.zeros(n, np.float64)
     anorm = np.zeros(n, np.float64)
     for i in range(nst):
         r0, r1 = i * rc, min(n, (i + 1) * rc)
         si = _slice_strip_tril(lh[r0:r1], ll[r0:r1], r0, s=s, w=w)
-        anorm[r0:r1] = np.asarray(
-            _strip_abs_rowsums(ah[r0:r1], al[r0:r1]), np.float64)
+        anorm[r0:r1] = np.asarray(_strip_abs_rowsums(
+            ah[r0:r1], al[r0:r1] if has_al else ah[r0:r1],
+            has_al=has_al), np.float64)
         for j in range(i + 1):
             c0, c1 = j * rc, min(n, (j + 1) * rc)
             sj = si if j == i else _slice_strip_tril(
                 lh[c0:c1], ll[c0:c1], c0, s=s, w=w)
             rs, cs = _residual_block(
-                ah[r0:r1, c0:c1], al[r0:r1, c0:c1], si, sj,
-                s=s, w=w, precise_deg=precise_deg)
+                ah[r0:r1, c0:c1],
+                al[r0:r1, c0:c1] if has_al else ah[r0:r1, c0:c1],
+                si, sj, s=s, w=w, precise_deg=precise_deg,
+                has_al=has_al)
             rowsum[r0:r1] += np.asarray(rs, np.float64)
             if j < i:
                 rowsum[c0:c1] += np.asarray(cs, np.float64)

@@ -278,6 +278,29 @@ class TestPotrfDf64:
                 rc, res_blk, res_strip)
             assert res64 < res_blk < 50 * res64 + 1e-13, (rc, res_blk)
 
+    def test_blocked_residual_al_none(self):
+        """al=None (A exactly fp32, the frontier-probe input contract):
+        no zeros plane, same result as an explicit zero lo plane."""
+        from dla_tpu.algos.potrf_df64 import (
+            potrf_df64,
+            residual_potrf_df64_blocked,
+        )
+
+        n = 256
+        g = rng.standard_normal((n, n))
+        a32 = np.asarray((g + g.T) / 2 + n * np.eye(n), np.float32)
+        a = a32.astype(np.float64)  # A is exactly fp32
+        ah = jnp.asarray(a32)
+        al = jnp.zeros_like(ah)
+        lh, ll = potrf_df64(ah, al, nb=128)
+        r_none = residual_potrf_df64_blocked(ah, None, lh, ll, rc=128)
+        r_zero = residual_potrf_df64_blocked(ah, al, lh, ll, rc=128)
+        assert r_none == r_zero, (r_none, r_zero)
+        l = np.asarray(D.from_df64(lh, ll))
+        res64 = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res64 < r_none < 50 * res64 + 1e-13, (res64, r_none)
+        assert r_none < 1e-10
+
     def test_s7_tightens_the_floor(self):
         from dla_tpu.algos.potrf_df64 import potrf_df64
 
