@@ -647,13 +647,37 @@ def main(argv=None) -> int:
                 ah = jax.jit(lambda: plgsy(
                     cfg.n, bump=bump, seed=cfg.seed, dtype=jnp.float32))()
                 al = None
-        if cfg.n > 8192:
+        # full-reconstruction residual whenever its block-tiled working
+        # set fits HBM (L pair + A pair + two strip slice sets — the
+        # block-tiled path never holds the full slice set, so the old
+        # N=8192 strip-path ceiling is gone); the O(n²) streaming
+        # Freivalds gate remains the fallback at true frontier sizes.
+        # Same auto-by-budget policy as the inplace path below.
+        rc_blk = 2048
+        npairs = 3 if al is None else 4
+        need = (npairs * 4 * cfg.n * cfg.n
+                + 4 * df64_slices * rc_blk * cfg.n)
+        budget = int(
+            os.environ.get("DLA_TPU_VALIDATE_HBM_BUDGET", 14_500_000_000))
+        # strip-path ceiling (env-tunable so tests can exercise the
+        # blocked branch at CPU-friendly sizes)
+        strip_max = int(
+            os.environ.get("DLA_TPU_DF64_STRIP_RESIDUAL_MAX", 8192))
+        if cfg.n > strip_max and need > budget:
             from dla_tpu.algos.potrf_df64 import freivalds_potrf_df64
 
             res = float(freivalds_potrf_df64(
                 lh, ll, ah, al, s=df64_slices, seed=cfg.seed))
             print("freivalds ||(A - LL^T)x|| / (||A|| ||x||) = "
                   f"{res:.2e}")
+        elif cfg.n > strip_max:
+            from dla_tpu.algos.potrf_df64 import (
+                residual_potrf_df64_blocked,
+            )
+
+            res = residual_potrf_df64_blocked(
+                ah, al, lh, ll, s=df64_slices, rc=min(rc_blk, cfg.n))
+            print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
         else:
             from dla_tpu.algos.potrf_df64 import residual_potrf_df64
 

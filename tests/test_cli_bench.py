@@ -217,6 +217,23 @@ class TestDriverEndToEnd:
         assert r.returncode == 0, r.stdout + r.stderr
         assert "PASS (residual < 1e-10)" in r.stdout
 
+    def test_driver_df64_blocked_residual_branch(self):
+        """Past the strip-residual ceiling (env-lowered here) the driver
+        must run the BLOCK-TILED full residual — the reference's exact
+        contract (v6_test.c:87) instead of the Freivalds fallback — and
+        still print the standard line and PASS."""
+        env = dict(_env(), DLA_TPU_DF64_STRIP_RESIDUAL_MAX="128")
+        r = _run(
+            [sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+             "--n", "256", "--nb", "64", "--mode", "df64",
+             "--platform", "cpu"],
+            env=env,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "||A - LL^T||_inf / ||A||_inf" in r.stdout
+        assert "freivalds" not in r.stdout
+        assert "PASS (residual < 1e-10)" in r.stdout
+
     def test_driver_df64_packed_pure(self):
         """--mode df64-packed, pure path: triangle-only df64 storage with
         device generation (no host fp64 square) must meet the 1e-10 gate
