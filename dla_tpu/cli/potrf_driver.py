@@ -434,6 +434,11 @@ def main(argv=None) -> int:
                 else:
                     a64 = np.fromfile(args.input, np.float64)
                 a64 = np.asarray(a64, np.float64).reshape(cfg.n, cfg.n)
+                # lower-triangle-only contract: reflect the lower triangle
+                # so A is bit-level symmetric — the blocked df64 residual
+                # derives upper-row sums from lower-block column sums and
+                # assumes exact symmetry (ADVICE r4)
+                a64 = np.tril(a64) + np.tril(a64, -1).T
             elif view is None and cfg.gen == "plgsy":
                 from dla_tpu.runtime.staging import HostTileStore
 
@@ -631,53 +636,86 @@ def main(argv=None) -> int:
         # gate (O(n²) matvecs) — the frontier contract every other large-N
         # path uses.
         lh, ll = l
+        budget = int(
+            os.environ.get("DLA_TPU_VALIDATE_HBM_BUDGET", 14_500_000_000))
         if df64_packed:
-            # unpack the factor pair (packed freed after), and for the
-            # pure path regenerate the exactly-fp32 dense A on device
-            # (lo = 0 — the streaming gate takes al=None)
-            from dla_tpu.algos.packed import unpack_tri
+            # unpack transient: packed pair (~4n²B) + unpacked pair (8n²B)
+            # co-resident, plus the regenerated dense A (4n²B, pure path)
+            # — RESOURCE_EXHAUSTs at the packed record sizes (N≥32768).
+            # The pure path then certifies directly off the PACKED pair:
+            # streaming df64 Freivalds with A strip-streamed from its seed
+            # (freivalds_packed_df64 — no unpack, tile-sized transients),
+            # the gate that puts a measured residual on the record runs.
+            nsq = 4 * cfg.n * cfg.n
+            unpack_need = (3 + (1 if ah is None else 0)) * nsq
+            if ah is None and unpack_need > budget:
+                from dla_tpu.algos.potrf_df64 import freivalds_packed_df64
 
-            unp = jax.jit(unpack_tri, static_argnames=("n", "tb"))
-            lh = unp(lh, n=cfg.n, tb=cfg.nb)
-            ll = unp(ll, n=cfg.n, tb=cfg.nb)
-            l = (lh, ll)
-            if ah is None:
-                from dla_tpu.ops import plgsy
+                res = float(freivalds_packed_df64(
+                    lh, ll, cfg.n, cfg.nb, gen_seed=cfg.seed, bump=bump,
+                    s=df64_slices, row_chunk=min(1024, cfg.n)))
+                print("freivalds ||(A - LL^T)x|| / (||A|| ||x||) = "
+                      f"{res:.2e}")
+            else:
+                from dla_tpu.algos.packed import unpack_tri
 
-                ah = jax.jit(lambda: plgsy(
-                    cfg.n, bump=bump, seed=cfg.seed, dtype=jnp.float32))()
-                al = None
+                unp = jax.jit(unpack_tri, static_argnames=("n", "tb"))
+                lh = unp(lh, n=cfg.n, tb=cfg.nb)
+                ll = unp(ll, n=cfg.n, tb=cfg.nb)
+                l = (lh, ll)
+                if ah is None:
+                    from dla_tpu.ops import plgsy
+
+                    ah = jax.jit(lambda: plgsy(
+                        cfg.n, bump=bump, seed=cfg.seed,
+                        dtype=jnp.float32))()
+                    al = None
         # full-reconstruction residual whenever its block-tiled working
         # set fits HBM (L pair + A pair + two strip slice sets — the
         # block-tiled path never holds the full slice set, so the old
         # N=8192 strip-path ceiling is gone); the O(n²) streaming
         # Freivalds gate remains the fallback at true frontier sizes.
-        # Same auto-by-budget policy as the inplace path below.
+        # Same auto-by-budget policy as the inplace path below. The
+        # `need` estimate omits rc×rc transients, so the blocked gate
+        # also catches RESOURCE_EXHAUSTED and falls back to Freivalds
+        # (ADVICE r4) instead of failing the run.
         rc_blk = 2048
         npairs = 3 if al is None else 4
         need = (npairs * 4 * cfg.n * cfg.n
                 + 4 * df64_slices * rc_blk * cfg.n)
-        budget = int(
-            os.environ.get("DLA_TPU_VALIDATE_HBM_BUDGET", 14_500_000_000))
         # strip-path ceiling (env-tunable so tests can exercise the
         # blocked branch at CPU-friendly sizes)
         strip_max = int(
             os.environ.get("DLA_TPU_DF64_STRIP_RESIDUAL_MAX", 8192))
-        if cfg.n > strip_max and need > budget:
+
+        def _df64_freivalds():
             from dla_tpu.algos.potrf_df64 import freivalds_potrf_df64
 
-            res = float(freivalds_potrf_df64(
+            r = float(freivalds_potrf_df64(
                 lh, ll, ah, al, s=df64_slices, seed=cfg.seed))
             print("freivalds ||(A - LL^T)x|| / (||A|| ||x||) = "
-                  f"{res:.2e}")
+                  f"{r:.2e}")
+            return r
+
+        if res is not None:
+            pass  # packed-native gate above already certified
+        elif cfg.n > strip_max and need > budget:
+            res = _df64_freivalds()
         elif cfg.n > strip_max:
             from dla_tpu.algos.potrf_df64 import (
                 residual_potrf_df64_blocked,
             )
 
-            res = residual_potrf_df64_blocked(
-                ah, al, lh, ll, s=df64_slices, rc=min(rc_blk, cfg.n))
-            print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
+            try:
+                res = residual_potrf_df64_blocked(
+                    ah, al, lh, ll, s=df64_slices, rc=min(rc_blk, cfg.n))
+                print(f"||A - LL^T||_inf / ||A||_inf = {res:.2e}")
+            except jax.errors.JaxRuntimeError as e:  # transients overflow
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                print("[dla-potrf] blocked residual RESOURCE_EXHAUSTED; "
+                      "falling back to streaming Freivalds")
+                res = _df64_freivalds()
         else:
             from dla_tpu.algos.potrf_df64 import residual_potrf_df64
 

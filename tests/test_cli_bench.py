@@ -247,6 +247,22 @@ class TestDriverEndToEnd:
         assert "Performance:" in r.stdout
         assert "PASS (residual < 1e-10)" in r.stdout
 
+    def test_driver_df64_packed_record_gate(self):
+        """Pure df64-packed past the unpack HBM budget (env-lowered
+        here): the driver must certify DIRECTLY off the packed pair via
+        the streaming packed-native df64 Freivalds (r5 — the gate that
+        puts measured residuals on the record runs) and PASS."""
+        env = dict(_env(), DLA_TPU_VALIDATE_HBM_BUDGET="100000")
+        r = _run(
+            [sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+             "--n", "256", "--nb", "64", "--mode", "df64-packed",
+             "--platform", "cpu"],
+            env=env,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "freivalds ||(A - LL^T)x|| / (||A|| ||x||)" in r.stdout
+        assert "PASS (residual < 1e-10)" in r.stdout
+
     def test_driver_df64_packed_user_input(self, tmp_path):
         import numpy as np
 

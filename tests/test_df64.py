@@ -480,6 +480,53 @@ class TestPotrfPackedDf64:
         # slab k passes through untouched; trailing lower tiles updated
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
 
+    def test_freivalds_packed_native_matches_resident_gate(self):
+        """The packed-native streaming gate (r5: certifies the record
+        runs — no unpack, no dense A; A strip-streamed from its seed)
+        must agree with the resident-A dense gate on the same factor
+        and catch a corrupted factor."""
+        from dla_tpu.algos.packed import plgsy_packed, unpack_tri
+        from dla_tpu.algos.potrf_df64 import (
+            freivalds_packed_df64, freivalds_potrf_df64,
+            potrf_packed_df64,
+        )
+        from dla_tpu.ops import plgsy
+
+        n, nb = 512, 128
+        aph = plgsy_packed(n, nb, seed=51)
+        lph, lpl = potrf_packed_df64(
+            aph, jnp.zeros_like(aph), n, nb, ktb=128)
+        fr = float(freivalds_packed_df64(lph, lpl, n, nb, row_chunk=128))
+        assert fr < 1e-11, fr
+        # cross-check vs the resident-A dense gate on the unpacked factor
+        lh, ll = unpack_tri(lph, n, nb), unpack_tri(lpl, n, nb)
+        a32 = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
+        ref = float(freivalds_potrf_df64(
+            lh, ll, a32, None, row_chunk=128))
+        assert abs(fr - ref) < max(1e-13, 0.5 * ref), (fr, ref)
+        bad = lph.at[5, 3].add(np.float32(1e-4))
+        fr_bad = float(freivalds_packed_df64(bad, lpl, n, nb,
+                                             row_chunk=128))
+        assert fr_bad > 1e-9, fr_bad
+
+    def test_freivalds_gen_streamed_matches_resident_gate(self):
+        """The generator-streamed DENSE gate (r5: drops the resident A
+        plane that RESOURCE_EXHAUSTed the r4 dense-frontier cert) must
+        reproduce the resident-A gate on the same factor."""
+        from dla_tpu.algos.potrf_df64 import (
+            freivalds_potrf_df64, freivalds_potrf_df64_gen, potrf_df64,
+        )
+        from dla_tpu.ops import plgsy
+
+        n = 512
+        a32 = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
+        lh, ll = potrf_df64(a32, jnp.zeros_like(a32), nb=128)
+        fr = float(freivalds_potrf_df64_gen(lh, ll, row_chunk=128))
+        ref = float(freivalds_potrf_df64(
+            lh, ll, a32, None, row_chunk=128))
+        assert fr < 1e-11, fr
+        assert abs(fr - ref) < max(1e-13, 0.05 * ref), (fr, ref)
+
     def test_trmm_packed_df64_matches_fp64(self):
         from dla_tpu.algos.packed import pack_tri
         from dla_tpu.algos.potrf_df64 import trmm_packed_df64
