@@ -14,6 +14,7 @@ from dla_tpu.parallel.column_cyclic import (  # noqa: F401
 from dla_tpu.parallel.packed_cyclic import (  # noqa: F401
     pack_cols_packed,
     potrf_packed_cyclic,
+    potrf_packed_cyclic_df64,
     resident_elems,
     unpack_cols_packed,
 )

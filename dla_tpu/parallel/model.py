@@ -153,10 +153,30 @@ SINGLE_CHIP_BF16_GFLOPS = {
 # scale the curve to other chips). "bf16" is the bf16-storage policy —
 # its MXU mode is the 1-pass default ceiling (ROADMAP negative result:
 # bf16 × high is compiler-rejected).
+# Measured single-chip emulated-fp64 (df64, s=7) curve — LOGICAL N^3/3
+# flops (the executed bf16 MXU passes are s(s+1)/2 = 28x that), raw
+# per-invocation medians from benchmarks/results_r4/df64_probe.jsonl
+# (+ r5 record certs): pallas-trailing dense to 32768, packed beyond.
+# This is the 1e-10-contract rate the df64 mesh projection charges.
+SINGLE_CHIP_DF64_GFLOPS = {
+    4096: 477.0,
+    8192: 1713.0,
+    16384: 3180.0,
+    24576: 3943.0,
+    32768: 4034.0,
+    40960: 4458.0,  # packed df64 record (pair = 4 bytes/logical elem x2)
+}
+
+# tier name → (measured v5e curve, ChipSpec.tflops ceiling key used to
+# scale the curve to other chips). "bf16" is the bf16-storage policy —
+# its MXU mode is the 1-pass default ceiling (ROADMAP negative result:
+# bf16 × high is compiler-rejected). "f64x" scales by the same 1-pass
+# bf16 ceiling: every df64 flop is a fixed number of bf16 MXU passes.
 SINGLE_CHIP_CURVES = {
     "high": (SINGLE_CHIP_HIGH_GFLOPS, "high"),
     "default": (SINGLE_CHIP_DEFAULT_GFLOPS, "default"),
     "bf16": (SINGLE_CHIP_BF16_GFLOPS, "default"),
+    "f64x": (SINGLE_CHIP_DF64_GFLOPS, "default"),
 }
 
 
@@ -645,6 +665,7 @@ def project_packed_cyclic(
     chip: str = "v5e",
     tier: str = "default",
     itemsize: int = 4,
+    planes: int = 1,
 ) -> dict:
     """Projected wall time of the packed column-cyclic POTRF on a flat
     D-device mesh (see the section comment for the term-by-term model).
@@ -663,11 +684,14 @@ def project_packed_cyclic(
 
     def t_bcast(rows: int) -> float:
         # the implemented chunk-pipelined ring kernel's exact time law
-        # (kernels/collectives.py): C+D−2 hops of one chunk each
+        # (kernels/collectives.py): C+D−2 hops of one chunk each. The
+        # df64 plane (planes=2) stacks (hi, lo) into ONE buffer per
+        # broadcast, so the kernel sees planes·rows buffer rows.
         if ndev <= 1 or rows == 0:
             return 0.0
-        c = broadcast_chunks(rows, ndev)
-        return (c + ndev - 2) * (rows * nb * itemsize / (c * link_bw) + lat)
+        c = broadcast_chunks(planes * rows, ndev)
+        return (c + ndev - 2) * (
+            planes * rows * nb * itemsize / (c * link_bw) + lat)
 
     t_fac = t_comm = t_trail = 0.0
     for s in acc["steps"]:
@@ -679,7 +703,7 @@ def project_packed_cyclic(
     ideal = n**3 / 3.0
     t_single = ideal / (single_chip_rate(n, chip, tier) * 1e9)
     hbm = spec.hbm_gib * 2**30
-    single_fits = n * (n + nb) / 2 * itemsize <= hbm * 0.85
+    single_fits = planes * n * (n + nb) / 2 * itemsize <= hbm * 0.85
     return {
         "n": n, "nb": nb, "ndev": ndev, "chip": chip, "tier": tier,
         "t_dist_s": total, "t_fac_s": t_fac, "t_comm_s": t_comm,
@@ -692,8 +716,9 @@ def project_packed_cyclic(
         "comm_fraction": t_comm / total,
         "flop_ratio": acc["ratio"],
         "single_chip_fits": single_fits,
-        "resident_bytes_per_dev": packed_resident_bytes(
+        "resident_bytes_per_dev": planes * packed_resident_bytes(
             n, nb, ndev, itemsize),
+        "planes": planes,
     }
 
 
@@ -704,18 +729,20 @@ def packed_crossover(
     tier: str = "default",
     nb: int = 4096,
     itemsize: int = 4,
+    planes: int = 1,
 ) -> dict:
     """Scan N (multiples of nb·ndev) up to the mesh's packed in-core bound:
     smallest N where the flat mesh beats one chip, the ≥50%/70% efficiency
     thresholds, and the projection at the bound (the memory-unlock point —
     the largest factorization the mesh can hold at all)."""
     bound = packed_mesh_max_n(
-        ndev, chip=chip, nb=nb, itemsize=itemsize)["max_n_packed"]
+        ndev, chip=chip, nb=nb, itemsize=itemsize * planes)["max_n_packed"]
     first = eff50 = eff70 = None
     rows = []
     for n in range(nb * ndev, bound + 1, nb * ndev):
         r = project_packed_cyclic(
-            n, nb, ndev, chip=chip, tier=tier, itemsize=itemsize)
+            n, nb, ndev, chip=chip, tier=tier, itemsize=itemsize,
+            planes=planes)
         rows.append(r)
         if first is None and r["speedup"] > 1.0:
             first = r
@@ -725,7 +752,7 @@ def packed_crossover(
             eff70 = n
     return {
         "ndev": ndev, "chip": chip, "tier": tier, "nb": nb,
-        "mesh_max_n": bound,
+        "planes": planes, "mesh_max_n": bound,
         "crossover_n": first["n"] if first else None,
         "n_eff50": eff50, "n_eff70": eff70,
         "at_mesh_max": rows[-1] if rows else None,

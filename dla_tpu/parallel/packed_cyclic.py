@@ -216,6 +216,189 @@ def potrf_packed_cyclic(
     return _potrf_jit_n(x, n, nb, mesh, interpret)
 
 
+# ---------------------------------------------------------------------------
+# r5: distributed df64 — the reference's fp64 contract ON the mesh.
+# The reference's only distributed workload factors *fp64* tiles: every
+# ArmoniK worker kernel is CHAMELEON_dpotrf_Tile/dtrsm/dgemm on double[B*B]
+# blobs (worker_distrib.cpp:238,212-213) driven by the fp64 wave DAG
+# (client_distrib.cpp:506-565). This plane runs the rebuild's emulated-fp64
+# arithmetic (ops/df64, ~49 mantissa bits, 1e-10-gate-capable) under the
+# same packed column-cyclic layout + Pallas ring data plane as the fp32
+# plane above — per-device resident ≈ 2·(n²/2D) fp32 words (the df64 pair).
+# ---------------------------------------------------------------------------
+
+
+def _potrf_local_packed_df64(xh, xl, *, nb: int, nt: int, ndev: int,
+                             s: int, w: int, precise_deg: int, refine: int,
+                             interpret: bool | None):
+    """Per-device SPMD df64 program (under shard_map on the flat mesh).
+
+    Identical schedule to :func:`_potrf_local_packed`; every arithmetic
+    step is double-word: the owner factors its diagonal block with the
+    refined df64 Cholesky and df64-TRSMs the rows below
+    (``algos/potrf_df64._factor_diag_df64`` / ``_panel_solve_df64``), the
+    (hi, lo) planes ride the ring stacked into ONE buffer per broadcast
+    (same hop count as fp32 — 2 broadcasts/step — at 2× the bytes), and
+    each receiver slices the panel's bf16 slice set ONCE per step (slices
+    are per-row scaled, so row sub-ranges are valid slice sets) before
+    the per-slab exact-sliced MXU trailing GEMMs with compensated
+    accumulation into the slab pair."""
+    from dla_tpu.algos.potrf_df64 import (
+        _factor_diag_df64,
+        _panel_solve_df64,
+    )
+    from dla_tpu.ops.df64 import df_sub, df64_matmul_nt, slice_rows
+
+    ltc = nt // ndev
+    _, _, hs, off = _geometry(nt * nb, nb, ndev)
+    c = lax.axis_index("d")
+    gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+
+    for k in range(nt):
+        kc, ljk = k % ndev, k // ndev
+        own = c == kc
+
+        dblk_h = xh[off[ljk]: off[ljk] + nb]
+        dblk_l = xl[off[ljk]: off[ljk] + nb]
+        colw_h = xh[off[ljk] + nb: off[ljk] + hs[ljk]]
+        colw_l = xl[off[ljk] + nb: off[ljk] + hs[ljk]]
+
+        def _solve(args):
+            dh, dl, ch_, cl_ = args
+            lkk_h, lkk_l = _factor_diag_df64(
+                dh, dl, refine=refine, gemm_kw=gemm_kw)
+            if ch_.shape[0]:
+                ch_, cl_ = _panel_solve_df64(
+                    lkk_h, lkk_l, ch_, cl_, refine=refine, gemm_kw=gemm_kw)
+            return lkk_h, lkk_l, ch_, cl_
+
+        def _skip(args):
+            dh, dl, ch_, cl_ = args
+            return (jnp.zeros_like(dh), jnp.zeros_like(dl),
+                    jnp.zeros_like(ch_), jnp.zeros_like(cl_))
+
+        lkk_h, lkk_l, sol_h, sol_l = lax.cond(
+            own, _solve, _skip, (dblk_h, dblk_l, colw_h, colw_l))
+
+        # -- ring data plane: both planes stacked into one buffer/hop ----
+        dpair = ring_broadcast(
+            jnp.concatenate([lkk_h, lkk_l], axis=0), "d", kc,
+            collective_id=0, interpret=interpret)
+        lkk_h, lkk_l = dpair[:nb], dpair[nb:]
+        xh = xh.at[off[ljk]: off[ljk] + nb].set(
+            jnp.where(own, lkk_h, dblk_h))
+        xl = xl.at[off[ljk]: off[ljk] + nb].set(
+            jnp.where(own, lkk_l, dblk_l))
+        if k == nt - 1:
+            break
+        ph = hs[ljk] - nb  # panel rows this step
+        ppair = ring_broadcast(
+            jnp.concatenate([sol_h, sol_l], axis=0), "d", kc,
+            collective_id=1, interpret=interpret)
+        pan_h, pan_l = ppair[:ph], ppair[ph:]
+        xh = xh.at[off[ljk] + nb: off[ljk] + hs[ljk]].set(
+            jnp.where(own, pan_h, colw_h))
+        xl = xl.at[off[ljk] + nb: off[ljk] + hs[ljk]].set(
+            jnp.where(own, pan_l, colw_l))
+        # zero-pad for in-bounds traced slices (see fp32 plane)
+        pad = (ndev - 1 - kc) * nb
+        if pad:
+            z = jnp.zeros((pad, nb), xh.dtype)
+            pan_h = jnp.concatenate([pan_h, z], axis=0)
+            pan_l = jnp.concatenate([pan_l, z], axis=0)
+        # slice the received panel ONCE per step; per-slab row sub-ranges
+        # of the slice set are themselves valid slice sets
+        sx = slice_rows(pan_h, pan_l, s=s, w=w)[0]
+
+        # -- df64 trailing update over owned slabs right of k ------------
+        for lj in range(ltc):
+            if lj * ndev + ndev - 1 <= k:
+                continue
+            gcol = lj * ndev + c  # traced
+            live = gcol > k
+            op = jnp.maximum((gcol - k - 1) * nb, 0)
+            z0 = jnp.zeros_like(op)
+            sa = [lax.dynamic_slice(sl, (op, z0), (hs[lj], nb))
+                  for sl in sx]
+            sb = [lax.dynamic_slice(sl, (op, z0), (nb, nb)) for sl in sx]
+            uh, ul = df64_matmul_nt(
+                None, None, None, None, slices_a=sa, slices_b=sb,
+                **gemm_kw)
+            slab_h = lax.dynamic_slice(
+                xh, (off[lj], 0), (hs[lj], nb))
+            slab_l = lax.dynamic_slice(
+                xl, (off[lj], 0), (hs[lj], nb))
+            nh, nl = df_sub(slab_h, slab_l, uh, ul)
+            nh = jnp.where(live, nh, slab_h)
+            nl = jnp.where(live, nl, slab_l)
+            xh = lax.dynamic_update_slice(xh, nh, (off[lj], 0))
+            xl = lax.dynamic_update_slice(xl, nl, (off[lj], 0))
+    return xh, xl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "nb", "mesh", "s", "w", "precise_deg", "refine",
+                     "interpret"))
+def _potrf_df64_jit_n(xh, xl, n, nb, mesh, s, w, precise_deg, refine,
+                      interpret):
+    nt = n // nb
+    local = functools.partial(
+        _potrf_local_packed_df64, nb=nb, nt=nt, ndev=mesh.size,
+        s=s, w=w, precise_deg=precise_deg, refine=refine,
+        interpret=interpret,
+    )
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d", None), P("d", None)),
+        out_specs=(P("d", None), P("d", None)),
+        check_vma=False,
+    )(xh, xl)
+
+
+def potrf_packed_cyclic_df64(
+    xh: jax.Array,
+    xl: jax.Array,
+    n: int,
+    nb: int,
+    mesh: Mesh,
+    *,
+    s: int = 7,
+    w: int = 8,
+    precise_deg: int = 3,
+    refine: int = 2,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed **emulated-fp64** POTRF of a packed column-cyclic
+    sharded (hi, lo) pair (each plane laid out by
+    :func:`pack_cols_packed`) — the reference's fp64 distributed
+    contract (``worker_distrib.cpp:238`` fp64 tile kernels under the
+    ``client_distrib.cpp:506-565`` wave DAG) re-based on df64 arithmetic
+    + the Pallas ring data plane. Same shape/mesh constraints as
+    :func:`potrf_packed_cyclic`; returns the factor pair in the same
+    packed layout. Meets the 1e-10 gate (the factor carries ~49 mantissa
+    bits; residual ~n·2^(−s·w))."""
+    if n % nb:
+        raise ValueError(f"n={n} must be a multiple of nb={nb}")
+    nt = n // nb
+    if nt % mesh.size:
+        raise ValueError(
+            f"nt={nt} tile columns must be a multiple of mesh size "
+            f"{mesh.size}")
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            "potrf_packed_cyclic_df64 needs a flat 1-D mesh (Pallas remote "
+            "DMA cannot address multi-axis meshes)")
+    _, _, _, off = _geometry(n, nb, mesh.size)
+    want = (off[-1] * mesh.size, nb)
+    if xh.shape != want or xl.shape != want:
+        raise ValueError(
+            f"packed pair shapes {xh.shape}/{xl.shape} != {want}"
+            " — build them with pack_cols_packed")
+    return _potrf_df64_jit_n(
+        xh, xl, n, nb, mesh, s, w, precise_deg, refine, interpret)
+
+
 def resident_elems(n: int, nb: int, ndev: int) -> tuple[int, int]:
     """(packed-cyclic per-device elements, dense column-cyclic ditto) —
     the memory claim in the module docstring, used by tests and the

@@ -263,6 +263,59 @@ class TestPackedCyclicModel:
             / CHIPS["v5e"].tflops["high"])
 
 
+class TestDf64MeshProjection:
+    """r5: the df64 mesh projection — the fp64-contract crossover (when a
+    mesh beats one chip at 1e-10) with the measured df64 curve and
+    pair-stacked (planes=2) ring comm."""
+
+    def test_curve_knots_and_projection_sane(self):
+        from dla_tpu.parallel.model import project_packed_cyclic
+
+        # measured knots (results_r4/df64_probe.jsonl medians)
+        assert single_chip_rate(40960, tier="f64x") == pytest.approx(4458.0)
+        assert single_chip_rate(16384, tier="f64x") == pytest.approx(3180.0)
+        r = project_packed_cyclic(65536, 4096, 8, tier="f64x", planes=2)
+        assert 0 < r["comm_fraction"] < 1
+        assert not r["single_chip_fits"]  # 8*65536^2/2 B > one chip
+        assert r["speedup"] > 1
+        # pair residency is exactly 2x the fp32 plane's
+        r1 = project_packed_cyclic(65536, 4096, 8, tier="f64x", planes=1)
+        assert r["resident_bytes_per_dev"] == 2 * r1["resident_bytes_per_dev"]
+        # pair comm moves 2x the bytes -> strictly more comm time
+        assert r["t_comm_s"] > r1["t_comm_s"]
+
+    def test_committed_artifact_matches_model(self):
+        """benchmarks/results_r5/df64_mesh_projection.json must equal what
+        the model produces today (regenerate with
+        `python benchmarks/df64_mesh_projection.py`)."""
+        import json
+        import os
+
+        from dla_tpu.parallel.model import (
+            packed_crossover,
+            packed_mesh_max_n,
+        )
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "results_r5", "df64_mesh_projection.json",
+        )
+        with open(path) as f:
+            art = json.load(f)
+        for row in art["memory_unlock"]:
+            m = packed_mesh_max_n(
+                row["ndev"], nb=row["nb"], itemsize=row["itemsize"])
+            assert m["max_n_packed"] == row["max_n_packed"], row
+        for row in art["crossovers"]:
+            c = packed_crossover(
+                row["ndev"], tier=row["tier"], nb=row["nb"],
+                itemsize=row["itemsize"], planes=row["planes"])
+            assert c["crossover_n"] == row["crossover_n"], row
+            assert c["mesh_max_n"] == row["mesh_max_n"]
+            assert c["at_mesh_max"]["dist_gflops"] == pytest.approx(
+                row["gflops_at_mesh_max"], rel=1e-3)
+
+
 class TestPackedProjectionArtifact:
     def test_committed_artifact_matches_model(self):
         """benchmarks/results_r3/packed_projection.json must equal what the

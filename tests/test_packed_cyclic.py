@@ -72,6 +72,52 @@ class TestPackedCyclic:
         np.testing.assert_allclose(l, np.eye(256), atol=1e-12)
 
 
+class TestPackedCyclicDf64:
+    """Distributed df64 (r5): the reference's fp64 contract ON the mesh —
+    the df64 ARITHMETIC exercised under sharding (fp32 planes on the
+    virtual mesh, not CPU x64)."""
+
+    def test_meets_1e10_gate_with_df64_arithmetic(self):
+        import scipy.linalg
+
+        from dla_tpu.ops.df64 import to_df64
+        from dla_tpu.parallel import potrf_packed_cyclic_df64
+
+        n, nb, ndev = 256, 16, 8
+        mesh = make_flat_mesh(ndev)
+        a = np.asarray(plgsy(n, seed=13, dtype=jnp.float64))
+        ah, al = to_df64(a)
+        xh = pack_cols_packed(np.asarray(ah), nb, mesh)
+        xl = pack_cols_packed(np.asarray(al), nb, mesh)
+        lxh, lxl = potrf_packed_cyclic_df64(xh, xl, n, nb, mesh)
+        l = (np.asarray(unpack_cols_packed(lxh, n, nb, mesh), np.float64)
+             + np.asarray(unpack_cols_packed(lxl, n, nb, mesh), np.float64))
+        ref = scipy.linalg.cholesky(a, lower=True)
+        ferr = np.max(np.abs(l - ref)) / np.max(np.abs(ref))
+        assert ferr < 1e-12, ferr  # df64 floor, far under fp32's ~1e-7
+        res = np.abs(a - l @ l.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res  # the reference's 1e-10 gate, with margin
+
+    def test_single_slab_edge_and_rejects(self):
+        from dla_tpu.parallel import potrf_packed_cyclic_df64
+
+        mesh = make_flat_mesh(8)
+        with pytest.raises(ValueError, match="multiple of mesh"):
+            z = jnp.zeros((8, 64), jnp.float32)
+            potrf_packed_cyclic_df64(z, z, 256, 64, mesh)  # nt=4
+        with pytest.raises(ValueError, match="pack_cols_packed"):
+            z = jnp.zeros((8, 16), jnp.float32)
+            potrf_packed_cyclic_df64(z, z, 256, 16, mesh)
+        # ltc=1 (one slab per device): identity stays exact
+        a = np.eye(256, dtype=np.float32)
+        x = pack_cols_packed(a, 32, mesh)
+        zl = jnp.zeros_like(x)
+        lh, ll = potrf_packed_cyclic_df64(x, zl, 256, 32, mesh)
+        l = (np.asarray(unpack_cols_packed(lh, 256, 32, mesh), np.float64)
+             + np.asarray(unpack_cols_packed(ll, 256, 32, mesh), np.float64))
+        np.testing.assert_allclose(l, np.eye(256), atol=1e-12)
+
+
 class TestCommPinnedToDataPlane:
     def test_ring_broadcast_volumes_match_accounting(self, monkeypatch):
         """The scaling model's comm term (packed_cyclic_accounting) must
