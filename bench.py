@@ -40,6 +40,7 @@ Diagnostics go to stderr; stdout is the single JSON line.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -144,9 +145,13 @@ def main():
     # (900: the late-r3 frontier bump — high 57344→61440, default
     # 49152→57344 — adds ~80 s of legitimate device time; 750 would
     # budget-skip the bf16 tier again)
-    # (1100: the r4 f64x tier adds ~one-time host fp64 generation under the
-    # balloon-throttled page supply + its own compile/program loads)
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1100))
+    # (1400: the r5 f64x tier runs its CERTIFIED FRONTIER N=24576 —
+    # ~90 s factor program load + 3×1.3 s iters + the block-tiled device
+    # residual's three program loads + ~23 s gate run ≈ 350 s worst-case
+    # uncached-load budget; the old N=8192 tier paid a comparable cost in
+    # balloon-throttled host fp64 generation, now gone — input is
+    # device-generated)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1400))
 
     import jax
 
@@ -316,8 +321,6 @@ def main():
         # therefore no buffer donation — the r2 'unusable donation' warning
         # came from the monolithic check's 2×4 GiB donated operands);
         # l is pre-tril'd in place via an elementwise donated program.
-        import functools
-
         if 2.5 * n * n * jnp.dtype(dt).itemsize > 14.5e9:
             # A and L cannot co-reside in HBM at this N: validate
             # matrix-free with the device Freivalds probe (A regenerated
@@ -530,49 +533,74 @@ def main():
             out["chain"] = chain
         return out
 
-    def run_tier_df64(*, nb: int = 1024, n: int = 8192, slices: int = 7):
+    def run_tier_df64(*, nb: int = 1024, n: int = 24576, slices: int = 7):
         """Emulated-fp64 tier (`f64x`): double-word fp32 storage through
         the exact-sliced bf16 MXU GEMM (ops/df64.py, algos/potrf_df64.py)
         — the on-chip path to the reference's own fp64 contract
-        (v6_test.c:57 dpotrf, ≤1e-10 residual gate). Input is generated
-        on the HOST in true fp64 (device fp64 silently degrades —
-        CLAUDE.md) and only the exact (hi, lo) fp32 pair crosses the
-        tunnel; timing is raw per-invocation (host-side generation and
-        the d2h pair upload are outside the clock, matching the
-        reference's dpotrf-only timing). Residual is evaluated in df64
-        ON DEVICE and gated at the reference's 1e-10."""
-        import numpy as np
-
-        from dla_tpu.algos.potrf_df64 import potrf_df64, residual_potrf_df64
-        from dla_tpu.ops.df64 import to_df64
-        from dla_tpu.runtime.staging import HostTileStore
+        (v6_test.c:57 dpotrf, ≤1e-10 residual gate). The tier runs the
+        certified frontier configuration (r5: N=24576, fused Pallas
+        trailing — measured blocked residual 4.19e-11 AND streaming df64
+        Freivalds 6.75e-14, results_r4/df64_probe.jsonl), not the old
+        N=8192 warm-up size. Input is the device-generated exactly-fp32
+        SPD matrix (lo plane = 0 — the frontier probe convention; the
+        FACTOR is not fp32-representable, so the full df64 arithmetic is
+        exercised), regenerated un-timed per iteration into a donated
+        pair; timing is raw per-invocation, matching the reference's
+        dpotrf-only clock. Residual: the v6_test-exact full
+        reconstruction ||A − L·Lᵀ||_inf/||A||_inf evaluated in df64 ON
+        DEVICE (block-tiled past N=8192), gated at 1e-10."""
+        from dla_tpu.algos.potrf_df64 import (
+            potrf_df64,
+            residual_potrf_df64,
+            residual_potrf_df64_blocked,
+        )
 
         tag = f"f64x@{n}"
-        st = HostTileStore(n, np.float64)
-        st.fill_plgsy(seed=51, bump=float(n))
-        a64 = st.array.copy()
-        st.close()
-        ah, al = to_df64(a64)
-        del a64
-        _ = float(ah[0, 0]) + float(al[0, 0])
+        gen_d = jax.jit(lambda: plgsy(n, bump=float(n), seed=51,
+                                      dtype=jnp.float32))
+        zeros = jax.jit(jnp.zeros_like)
+        fac = jax.jit(
+            functools.partial(potrf_df64, nb=nb, s=slices,
+                              trailing="pallas", tb=min(512, nb)),
+            donate_argnums=(0, 1))
+
+        def fresh_pair():
+            h = gen_d()
+            return h, zeros(h)
+
+        ah, al = fresh_pair()
+        _ = float(ah[0, 0])
         t0 = time.perf_counter()
-        lh, ll = potrf_df64(ah, al, nb=nb, s=slices,
-                            trailing="pallas", tb=min(512, nb))
+        lh, ll = fac(ah, al)
         _ = float(lh[n - 1, n - 1])
         compile_s = time.perf_counter() - t0
         log(f"[{tag}] compile+first run: {compile_s:.1f}s")
         times = []
         for i in range(iters):
+            lh = ll = None
+            ah, al = fresh_pair()  # un-timed (reference times dpotrf only)
+            _ = float(ah[0, 0])
             t0 = time.perf_counter()
-            lh, ll = potrf_df64(ah, al, nb=nb, s=slices,
-                                trailing="pallas", tb=min(512, nb))
+            lh, ll = fac(ah, al)
             _ = float(lh[n - 1, n - 1])
             times.append(time.perf_counter() - t0)
             log(f"[{tag}] iter {i}: {times[-1]:.4f}s -> "
                 f"{(n**3 / 3) / times[-1] / 1e9:.1f} GFLOP/s")
         t = sorted(times)[len(times) // 2]
         gflops_raw = (n**3 / 3) / t / 1e9
-        res = float(residual_potrf_df64(ah, al, lh, ll, s=slices))
+        # v6_test-exact residual on device: A regenerated (exact fp32,
+        # lo=None) next to the factor pair — block-tiled gate past 8192
+        ah = jax.jit(lambda: plgsy(n, bump=float(n), seed=51,
+                                   dtype=jnp.float32))()
+        _ = float(ah[0, 0])
+        strip_max = int(
+            os.environ.get("DLA_TPU_DF64_STRIP_RESIDUAL_MAX", 8192))
+        if n > strip_max:
+            res = float(residual_potrf_df64_blocked(
+                ah, None, lh, ll, s=slices, rc=min(2048, n)))
+        else:
+            res = float(residual_potrf_df64(
+                ah, zeros(ah), lh, ll, s=slices))
         log(f"[{tag}] Performance: {gflops_raw:.2f} Gflop/s")
         log(f"[{tag}] ||A - LL^T||_inf / ||A||_inf = {res:.2e} "
             f"(df64 on device; reference fp64 gate 1e-10: "
@@ -580,7 +608,7 @@ def main():
         return {"gflops": round(gflops_raw, 1),
                 "gflops_raw": round(gflops_raw, 1),
                 "residual": res, "compile_s": round(compile_s, 1),
-                "validation": "df64-device-residual"}
+                "validation": "df64-device-blocked-residual"}
 
     results: dict[str, dict] = {}
     for i, spec in enumerate(tiers):
@@ -593,7 +621,9 @@ def main():
             storage, prec = "bfloat16", "default"
         form = parts[1] if len(parts) > 1 else "shrink"
         nb_t = int(parts[2]) if len(parts) > 2 else nb
-        kb_t = int(parts[3]) if len(parts) > 3 else kb
+        # '-' = placeholder (tiers that take no kb, e.g. f64x)
+        kb_t = (int(parts[3]) if len(parts) > 3 and parts[3] != "-"
+                else kb)
         n_t = int(parts[4]) if len(parts) > 4 else n
         elapsed = time.perf_counter() - t_start
         if i > 0 and results:
@@ -611,11 +641,11 @@ def main():
             # fp64 tier (slices rides the `formulation` slot)
             results["f64x"] = run_tier_df64(
                 nb=nb_t if len(parts) > 2 else 1024,
-                n=n_t if len(parts) > 4 else 8192,
+                n=n_t if len(parts) > 4 else 24576,
                 slices=int(parts[1]) if len(parts) > 1 else 7,
             )
             results["f64x"]["nb"] = nb_t if len(parts) > 2 else 1024
-            results["f64x"]["n"] = n_t if len(parts) > 4 else 8192
+            results["f64x"]["n"] = n_t if len(parts) > 4 else 24576
             continue
         if form == "packed":
             results[key] = run_tier_packed(prec, storage=storage,

@@ -63,6 +63,24 @@ def test_bench_contract_tiny(monkeypatch):
     assert out["gflops_raw"] and out["gflops_raw"] > 0
 
 
+def test_bench_f64x_tier_blocked_gate(monkeypatch):
+    """The r5 f64x tier: device-generated exactly-fp32 input, donated
+    fresh pairs per iter, v6_test-exact residual on device (block-tiled
+    past the strip ceiling — env-lowered here to exercise that branch at
+    toy size) gated at the reference's 1e-10."""
+    out = _run_bench(
+        monkeypatch,
+        BENCH_N="256", BENCH_NB="64", BENCH_ITERS="1", BENCH_CHAIN="0",
+        BENCH_TB="64", BENCH_KB="64", BENCH_IB="64",
+        BENCH_PRECISIONS="high:inplace:64:64:256,f64x:7:64:-:256",
+        DLA_TPU_DF64_STRIP_RESIDUAL_MAX="128",
+    )
+    t = out["tiers"]["f64x"]
+    assert t["n"] == 256 and t["nb"] == 64
+    assert t["residual"] < 1e-10  # the reference's fp64 gate
+    assert t["validation"] == "df64-device-blocked-residual"
+
+
 def test_bench_headline_promotion(monkeypatch):
     # the headline is the library-default precision tier; with only the
     # shrink formulation present it is the plain `high` entry
