@@ -111,6 +111,28 @@ class TestBlas3:
         )
         np.testing.assert_allclose(got, c - ai @ aj.T, rtol=1e-10, atol=1e-12)
 
+    def test_gemm_complex_3m_matches_direct(self, monkeypatch):
+        """The 3-real-GEMM Karatsuba path for complex A·Bᵀ/ᴴ (r5 c64
+        trailing lever) must match the direct complex product at fp64
+        grade, for both conjb settings, and respect DLA_TPU_C3M=0."""
+        rng = np.random.default_rng(6)
+        a = rng.standard_normal((24, 16)) + 1j * rng.standard_normal((24, 16))
+        b = rng.standard_normal((24, 16)) + 1j * rng.standard_normal((24, 16))
+        c = rng.standard_normal((24, 24)) + 1j * rng.standard_normal((24, 24))
+        ja, jb_, jc = map(jnp.asarray, (a, b, c))
+        for conjb, ref in [
+            (True, c - a @ b.conj().T),
+            (False, c - a @ b.T),
+        ]:
+            monkeypatch.setenv("DLA_TPU_C3M", "1")
+            got = np.asarray(gemm(-1.0, ja, jb_, 1.0, jc,
+                                  transb=True, conjb=conjb))
+            np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+            monkeypatch.setenv("DLA_TPU_C3M", "0")
+            direct = np.asarray(gemm(-1.0, ja, jb_, 1.0, jc,
+                                     transb=True, conjb=conjb))
+            np.testing.assert_allclose(direct, ref, rtol=1e-10, atol=1e-12)
+
     def test_syrk_lower(self):
         """The diagonal trailing update: C ← -A·A^T + C on the lower triangle
         (worker_distrib.cpp:416)."""
