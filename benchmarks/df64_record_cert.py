@@ -78,6 +78,10 @@ def main():
         "DF64RC_PACKED", "40960").split(",") if x]
     dense_sizes = [int(x) for x in os.environ.get(
         "DF64RC_DENSE", "32768").split(",") if x]
+    # DF64RC_BLOCKED=1: certify the dense runs with the v6_test-exact
+    # block-tiled FULL reconstruction residual, A streamed from its seed
+    # (r5 gen mode) instead of the Freivalds probe
+    blocked = os.environ.get("DF64RC_BLOCKED", "0") == "1"
 
     # ---- packed records: factor off plgsy_packed, certify off the
     # packed pair with A streamed from its seed ----
@@ -178,13 +182,26 @@ def main():
                    "gflops": round(gf, 1), "t_s": round(t, 3),
                    "vs_reference_fp64": round(gf / BASELINE_FP64_GFLOPS, 1)}
             t0 = time.perf_counter()
-            fr = float(freivalds_potrf_df64_gen(
-                lh, ll, gen_seed=51, bump=float(n), s=s,
-                row_chunk=min(1024, n)))
-            row["freivalds_df64"] = fr
+            if blocked:
+                from dla_tpu.algos.potrf_df64 import (
+                    residual_potrf_df64_blocked,
+                )
+
+                fr = residual_potrf_df64_blocked(
+                    None, None, lh, ll, s=s, rc=min(2048, n),
+                    gen_seed=51, bump=float(n))
+                row["residual_blocked_df64"] = fr
+                row["cert"] = ("v6-exact block-tiled reconstruction "
+                               "residual, A streamed from seed")
+            else:
+                fr = float(freivalds_potrf_df64_gen(
+                    lh, ll, gen_seed=51, bump=float(n), s=s,
+                    row_chunk=min(1024, n)))
+                row["freivalds_df64"] = fr
+                row["cert"] = ("generator-streamed df64 Freivalds "
+                               "(no resident A)")
             row["gate_1e10"] = "PASS" if fr < 1e-10 else "FAIL"
             row["cert_s"] = round(time.perf_counter() - t0, 1)
-            row["cert"] = "generator-streamed df64 Freivalds (no resident A)"
             emit(row)
             lh = ll = ah = al = None
         except Exception as e:  # noqa: BLE001

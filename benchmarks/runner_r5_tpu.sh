@@ -10,6 +10,12 @@ cd "$(dirname "$0")/.."
 R=benchmarks/results_r5
 mkdir -p "$R"
 
+echo "[runner] dense 32768 record cert retry (transient transport err)" >> "$R/runner.log"
+DF64RC_PACKED= DF64RC_DENSE=32768 timeout 3600 python benchmarks/df64_record_cert.py > "$R/dense_cert_freivalds.log" 2>&1
+echo "[runner] dense freivalds rc=$?" >> "$R/runner.log"
+DF64RC_PACKED= DF64RC_DENSE=32768 DF64RC_BLOCKED=1 timeout 3600 python benchmarks/df64_record_cert.py > "$R/dense_cert_blocked.log" 2>&1
+echo "[runner] dense blocked rc=$?" >> "$R/runner.log"
+
 echo "[runner] bench.py (f64x tier promotion check)" >> "$R/runner.log"
 timeout 3600 python bench.py > "$R/bench_r5_check.json" 2> "$R/bench_r5_check.log"
 echo "[runner] bench rc=$?" >> "$R/runner.log"

@@ -558,9 +558,34 @@ def _strip_abs_rowsums(h, l, *, has_al):
     return jnp.sum(a, axis=1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("rc", "s", "w", "precise_deg", "bump"))
+def _residual_block_gen(seed, i0, j0, si, sj, *, rc, s, w, precise_deg,
+                        bump):
+    """:func:`_residual_block` with the A block SYNTHESIZED from the
+    generator seed (traced i0/j0 → one compiled program for all blocks)
+    — no (n, n) A plane resident at all, which is what lets the
+    v6_test-exact full-reconstruction gate run at the dense df64
+    frontier (N=32768: the resident-A variant needs A 4.3 GiB next to
+    the 8.6 GiB factor pair + slices and RESOURCE_EXHAUSTs)."""
+    ah_b = plgsy_tile(seed, i0, j0, rc, rc, bump=bump, dtype=_F32)
+    ph, pl = df64_matmul_nt(
+        None, None, None, None, slices_a=list(si), slices_b=list(sj),
+        s=s, w=w, precise_deg=precise_deg)
+    rh, rl = df_sub(ah_b, jnp.zeros_like(ah_b), ph, pl)
+    r = jnp.abs(rh) + jnp.abs(rl)
+    return jnp.sum(r, axis=1), jnp.sum(r, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("rc", "n", "bump"))
+def _strip_abs_rowsums_gen(seed, r0, *, rc, n, bump):
+    strip = plgsy_tile(seed, r0, 0, rc, n, bump=bump, dtype=_F32)
+    return jnp.sum(jnp.abs(strip), axis=1)
+
+
 def residual_potrf_df64_blocked(
     ah, al, lh, ll, *, s: int = 7, w: int = 8, precise_deg: int = 3,
-    rc: int = 2048,
+    rc: int = 2048, gen_seed: int | None = None, bump: float | None = None,
 ) -> float:
     """||A − L·Lᵀ||_inf / ||A||_inf in df64 ON DEVICE, block-tiled so the
     FULL slice set of L is never resident — the r4 strip path
@@ -589,11 +614,22 @@ def residual_potrf_df64_blocked(
     ~1e-13·||A||; the fp32 block partials carry them with ~2⁻²⁴
     relative error — far below gate resolution). ``al=None``: A is
     exactly fp32 (device-generated frontier inputs) — no (n, n) zeros
-    plane is allocated."""
+    plane is allocated. ``gen_seed`` (r5): A is STREAMED from the seeded
+    generator block-by-block (``_residual_block_gen``, traced offsets →
+    still one program) and ``ah``/``al`` are ignored entirely — no A
+    plane resident, which unlocks this gate at the dense df64 frontier
+    (requires rc | n)."""
     import numpy as np
 
-    n = ah.shape[0]
+    gen = gen_seed is not None
+    n = lh.shape[0]
     rc = min(rc, n)
+    if gen:
+        if n % rc:
+            raise ValueError(
+                f"generator-streamed gate needs rc | n (rc={rc}, n={n})")
+        if bump is None:
+            bump = float(n)
     nst = -(-n // rc)
     has_al = al is not None
     rowsum = np.zeros(n, np.float64)
@@ -601,20 +637,29 @@ def residual_potrf_df64_blocked(
     for i in range(nst):
         r0, r1 = i * rc, min(n, (i + 1) * rc)
         si = _slice_strip_tril(lh[r0:r1], ll[r0:r1], r0, s=s, w=w)
-        ah_i = ah[r0:r1]
-        anorm[r0:r1] = np.asarray(_strip_abs_rowsums(
-            ah_i, al[r0:r1] if has_al else ah_i,
-            has_al=has_al), np.float64)
+        if gen:
+            anorm[r0:r1] = np.asarray(_strip_abs_rowsums_gen(
+                gen_seed, r0, rc=rc, n=n, bump=bump), np.float64)
+        else:
+            ah_i = ah[r0:r1]
+            anorm[r0:r1] = np.asarray(_strip_abs_rowsums(
+                ah_i, al[r0:r1] if has_al else ah_i,
+                has_al=has_al), np.float64)
         for j in range(i + 1):
             c0, c1 = j * rc, min(n, (j + 1) * rc)
             sj = si if j == i else _slice_strip_tril(
                 lh[c0:c1], ll[c0:c1], c0, s=s, w=w)
-            ah_b = ah[r0:r1, c0:c1]
-            rs, cs = _residual_block(
-                ah_b,
-                al[r0:r1, c0:c1] if has_al else ah_b,
-                si, sj, s=s, w=w, precise_deg=precise_deg,
-                has_al=has_al)
+            if gen:
+                rs, cs = _residual_block_gen(
+                    gen_seed, r0, c0, si, sj, rc=rc, s=s, w=w,
+                    precise_deg=precise_deg, bump=bump)
+            else:
+                ah_b = ah[r0:r1, c0:c1]
+                rs, cs = _residual_block(
+                    ah_b,
+                    al[r0:r1, c0:c1] if has_al else ah_b,
+                    si, sj, s=s, w=w, precise_deg=precise_deg,
+                    has_al=has_al)
             rowsum[r0:r1] += np.asarray(rs, np.float64)
             if j < i:
                 rowsum[c0:c1] += np.asarray(cs, np.float64)

@@ -509,6 +509,27 @@ class TestPotrfPackedDf64:
                                              row_chunk=128))
         assert fr_bad > 1e-9, fr_bad
 
+    def test_blocked_residual_gen_mode_matches_resident(self):
+        """The generator-streamed blocked v6-exact gate (r5: no A plane
+        resident — the dense-frontier certification) must equal the
+        resident-A blocked gate bit-for-bit on the seeded matrix."""
+        from dla_tpu.algos.potrf_df64 import (
+            potrf_df64, residual_potrf_df64_blocked,
+        )
+        from dla_tpu.ops import plgsy
+
+        n = 512
+        a32 = plgsy(n, bump=float(n), seed=51, dtype=jnp.float32)
+        lh, ll = potrf_df64(a32, jnp.zeros_like(a32), nb=128)
+        r_res = residual_potrf_df64_blocked(a32, None, lh, ll, rc=128)
+        r_gen = residual_potrf_df64_blocked(
+            None, None, lh, ll, rc=128, gen_seed=51)
+        assert r_gen < 1e-11, r_gen
+        assert r_res == r_gen, (r_res, r_gen)
+        with pytest.raises(ValueError, match="rc"):
+            residual_potrf_df64_blocked(
+                None, None, lh, ll, rc=96, gen_seed=51)
+
     def test_freivalds_gen_streamed_matches_resident_gate(self):
         """The generator-streamed DENSE gate (r5: drops the resident A
         plane that RESOURCE_EXHAUSTed the r4 dense-frontier cert) must
