@@ -156,8 +156,8 @@ def _driver_cmd(n, nb, dtype, mode, mesh, gen, platform, panel="xla", trailing="
     ]
     if mode in ("blocked", "shrink"):
         cmd += ["--panel", panel, "--trailing", trailing]
-    if mode == "packed" and trailing != "xla":
-        cmd += ["--trailing", trailing]
+    if mode in ("packed", "df64") and trailing != "xla":
+        cmd += ["--trailing", trailing]  # df64: the fused pass-loop kernel
     if mode in ("blocked", "shrink", "inplace", "packed"):
         cmd += ["--diag", diag]
         if precision:
