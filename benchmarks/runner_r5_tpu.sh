@@ -37,3 +37,8 @@ timeout 7200 python benchmarks/df64_wall_bisect.py > "$R/df64_wall_bisect.log" 2
 echo "[runner] bisect rc=$?" >> "$R/runner.log"
 
 echo "[runner] ALL DONE" >> "$R/runner.log"
+
+echo "[runner] dense freivalds retry with streamed-transpose fix" >> "$R/runner.log"
+DF64RC_PACKED= DF64RC_DENSE=32768 timeout 3600 python benchmarks/df64_record_cert.py > "$R/dense_cert_freivalds2.log" 2>&1
+echo "[runner] dense freivalds2 rc=$?" >> "$R/runner.log"
+echo "[runner] ALL DONE (incl. retry)" >> "$R/runner.log"

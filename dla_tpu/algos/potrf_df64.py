@@ -423,6 +423,40 @@ def _matvec_df64(mh, ml, xth, xtl, *, s, w, precise_deg, row_chunk):
     return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("s", "w", "precise_deg"),
+    donate_argnums=(4, 5))
+def _matvec_t_strip_df64(mh_s, ml_s, xth_c, xtl_c, acc_h, acc_l, *,
+                         s, w, precise_deg):
+    """One row-strip contribution of a TRANSPOSED df64 matvec:
+    acc += (M_strip)ᵀ · x_strip, the strip transposed INSIDE the program
+    (XLA folds it into the dot's dimension numbers). Compensated (df_add)
+    accumulation into a donated (k, nrhs) pair."""
+    h, l = df64_matmul_nt(mh_s.T, ml_s.T, xth_c, xtl_c,
+                          s=s, w=w, precise_deg=precise_deg)
+    return df_add(acc_h, acc_l, h, l)
+
+
+def _matvec_t_df64(mh, ml, xth, xtl, *, s, w, precise_deg, row_chunk):
+    """Full df64 matvec Mᵀ·X by jitted row strips of M — the r5 fix for
+    the dense-frontier gate OOM: ``_matvec_df64(lh.T, …)`` materialized a
+    full (n, n) transposed COPY of each plane on device (8.6 GiB at
+    N=32768 next to the resident pair → RESOURCE_EXHAUSTED,
+    results_r5/dense_cert_freivalds.log); this streams the transpose
+    strip-wise with only strip-sized transients. X given transposed
+    ((nrhs, m) pair); returns the (k, nrhs) result pair."""
+    m, k = mh.shape
+    probes = xth.shape[0]
+    acc_h = jnp.zeros((k, probes), _F32)
+    acc_l = jnp.zeros((k, probes), _F32)
+    for r0 in range(0, m, row_chunk):
+        r1 = min(m, r0 + row_chunk)
+        acc_h, acc_l = _matvec_t_strip_df64(
+            mh[r0:r1], ml[r0:r1], xth[:, r0:r1], xtl[:, r0:r1],
+            acc_h, acc_l, s=s, w=w, precise_deg=precise_deg)
+    return acc_h, acc_l
+
+
 def freivalds_potrf_df64(
     lh, ll, ah, al=None, *, probes: int = 2, seed: int = 71,
     s: int = 7, w: int = 8, precise_deg: int = 3, row_chunk: int = 1024,
@@ -441,9 +475,10 @@ def freivalds_potrf_df64(
     xth = jnp.asarray(x)
     xtl = jnp.zeros_like(xth)
     kw = dict(s=s, w=w, precise_deg=precise_deg, row_chunk=row_chunk)
-    # z = Lᵀ·x  (per probe: row i of z = Σ_j L[j,i]·x[j] → (Lᵀ)·x; compute
-    # as strips of Lᵀ — i.e. column strips of L — via the transposed pair)
-    zh, zl = _matvec_df64(lh.T, ll.T, xth, xtl, **kw)
+    # z = Lᵀ·x, streamed over row strips of L — never a materialized Lᵀ
+    # copy (r5 fix: the .T pair cost 8.6 GiB at N=32768 and OOMed HBM)
+    zt_h, zt_l = _matvec_t_df64(lh, ll, xth, xtl, **kw)
+    zh, zl = zt_h, zt_l
     # wv = L·z
     wh, wl = _matvec_df64(lh, ll, zh.T, zl.T, **kw)
     # y = A·x (al=None: A is exactly fp32 — frontier probe inputs)
@@ -836,7 +871,8 @@ def freivalds_potrf_df64_gen(
     xth = jnp.asarray(x)
     xtl = jnp.zeros_like(xth)
     kw = dict(s=s, w=w, precise_deg=precise_deg, row_chunk=row_chunk)
-    zh, zl = _matvec_df64(lh.T, ll.T, xth, xtl, **kw)
+    # z = Lᵀ·x, streamed (no materialized Lᵀ copy — see freivalds_potrf_df64)
+    zh, zl = _matvec_t_df64(lh, ll, xth, xtl, **kw)
     yh, yl = _matvec_df64(lh, ll, zh.T, zl.T, **kw)
     num, anorm = _streamed_ax_gate(
         yh, yl, xth, xtl, n, gen_seed=gen_seed, bump=bump, s=s, w=w,
