@@ -42,3 +42,7 @@ echo "[runner] dense freivalds retry with streamed-transpose fix" >> "$R/runner.
 DF64RC_PACKED= DF64RC_DENSE=32768 timeout 3600 python benchmarks/df64_record_cert.py > "$R/dense_cert_freivalds2.log" 2>&1
 echo "[runner] dense freivalds2 rc=$?" >> "$R/runner.log"
 echo "[runner] ALL DONE (incl. retry)" >> "$R/runner.log"
+
+echo "[runner] df64 plane on-chip accuracy isolation" >> "$R/runner.log"
+timeout 3600 python benchmarks/df64_plane_isolate.py > "$R/df64_plane_isolate.log" 2>&1
+echo "[runner] isolate rc=$?" >> "$R/runner.log"
