@@ -36,7 +36,13 @@ def _acc_dtype(dtype):
 def _c3m_enabled() -> bool:
     import os
 
-    return os.environ.get("DLA_TPU_C3M", "1") == "1"
+    # default OFF: measured on chip (r5, benchmarks/results_r5/
+    # c64_3m_ab.jsonl) the 3M path is 6-7% SLOWER than XLA's native
+    # complex lowering at the c64 trailing shapes (5,056/5,076 vs
+    # 5,446/5,389 GF/s at N=16384, identical residuals) — the extra
+    # elementwise re/im extraction + combines on HBM-bound operands
+    # outweigh the 4->3 dot saving. Kept opt-in for other shapes.
+    return os.environ.get("DLA_TPU_C3M", "0") == "1"
 
 
 def _gemm3m_nt(a, b, conjb: bool):
@@ -82,7 +88,8 @@ def gemm(alpha, a, b, beta, c, *, transa: bool = False, transb: bool = False,
     ``conja``/``conjb`` conjugate the operand (op = conjugate-transpose when
     combined with trans — the Hermitian ``A·Aᴴ`` updates of c/z POTRF).
     Complex ``A·Bᵀ/ᴴ`` (the trailing-update form) routes through the
-    3-real-GEMM Karatsuba path (:func:`_gemm3m_nt`) unless DLA_TPU_C3M=0."""
+    3-real-GEMM Karatsuba path (:func:`_gemm3m_nt`) when DLA_TPU_C3M=1
+    (measured slower on v5e — see :func:`_c3m_enabled`; off by default)."""
     acc = _acc_dtype(c.dtype)
     if (jnp.iscomplexobj(a) and jnp.iscomplexobj(b)
             and not transa and not conja and transb and _c3m_enabled()):
