@@ -308,25 +308,47 @@ def potrs_packed_df64(
     s: int = 7,
     w: int = 8,
     precise_deg: int = 3,
+    engine: str = "trmm",
 ) -> tuple[jax.Array, jax.Array]:
     """Solve L·Lᵀ·X = B in df64 **from the packed factor pair** — the
     fp64-contract solve at packed-frontier sizes where the dense pair
     cannot be unpacked next to B. fp32 packed substitution
     (:func:`dla_tpu.algos.packed.potrs_packed` on the hi plane) +
     ``refine`` steps of df64-residual correction, each one packed df64
-    L·(Lᵀ·x) reconstruction (:func:`trmm_packed_df64`) and one fp32
-    substitution — the same O(eps32)→O(eps32²) scheme as the dense
-    :func:`potrs_df64`. B is an (n, nrhs) df64 pair."""
+    L·(Lᵀ·x) reconstruction and one fp32 substitution — the same
+    O(eps32)→O(eps32²) scheme as the dense :func:`potrs_df64`. B is an
+    (n, nrhs) df64 pair.
+
+    ``engine`` selects the reconstruction: ``"trmm"`` = per-slab df64
+    GEMMs (:func:`trmm_packed_df64` — best MXU shapes, but trace-time
+    unrolled: ~28·nt dots per trmm, a PROGRAM-SIZE hazard under this
+    environment's remote compile service at nt ≳ 24 when the whole solve
+    is jitted as one program); ``"matvec"`` = the descriptor-table fori
+    loop (:func:`_packed_matvec_df64` — ONE compact loop program per
+    direction, the r5 record-certification engine)."""
     from dla_tpu.algos.packed import potrs_packed
 
     gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
+    if engine == "matvec":
+        desc = jnp.asarray(_packed_tile_desc(n, nb))
+        mv_kw = dict(nb=nb, **gemm_kw)
+
+        def recon(xh_, xl_):
+            th_, tl_ = _packed_matvec_df64(
+                lph, lpl, desc, xh_, xl_, trans=True, **mv_kw)
+            return _packed_matvec_df64(
+                lph, lpl, desc, th_, tl_, trans=False, **mv_kw)
+    else:
+        def recon(xh_, xl_):
+            th_, tl_ = trmm_packed_df64(
+                lph, lpl, xh_, xl_, n, nb, trans=True, **gemm_kw)
+            return trmm_packed_df64(
+                lph, lpl, th_, tl_, n, nb, trans=False, **gemm_kw)
+
     xh = potrs_packed(lph, bh, n, nb)
     xl = jnp.zeros_like(xh)
     for _ in range(refine):
-        th, tl = trmm_packed_df64(
-            lph, lpl, xh, xl, n, nb, trans=True, **gemm_kw)
-        ph, pl = trmm_packed_df64(
-            lph, lpl, th, tl, n, nb, trans=False, **gemm_kw)
+        ph, pl = recon(xh, xl)
         rh, rl = df_sub(bh, bl, ph, pl)
         dx = potrs_packed(lph, rh, n, nb)
         xh, xl = df_add(xh, xl, dx, jnp.zeros_like(dx))

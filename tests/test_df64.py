@@ -453,6 +453,29 @@ class TestPotrfPackedDf64:
         res = np.abs(b - a @ x).max() / (np.abs(a).max() * np.abs(x).max())
         assert res < 1e-12, res  # 1e-10 gate with margin
 
+    def test_potrs_packed_df64_matvec_engine(self):
+        """The compact-program serving engine (engine='matvec': the
+        descriptor-table fori reconstruction instead of ~28·nt unrolled
+        trmm dots — the remote-compile-safe path at frontier nt) must
+        meet the same posv gate as the trmm engine."""
+        from dla_tpu.algos.packed import pack_tri
+        from dla_tpu.algos.potrf_df64 import (
+            potrf_packed_df64, potrs_packed_df64,
+        )
+
+        n, nb, nrhs = 512, 128, 4
+        a = self._spd(n)
+        b = rng.standard_normal((n, nrhs))
+        ah, al = D.to_df64(a)
+        bh, bl = D.to_df64(b)
+        lph, lpl = potrf_packed_df64(
+            pack_tri(ah, nb), pack_tri(al, nb), n, nb, ktb=128)
+        xh, xl = potrs_packed_df64(lph, lpl, bh, bl, n, nb,
+                                   engine="matvec")
+        x = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        res = np.abs(b - a @ x).max() / (np.abs(a).max() * np.abs(x).max())
+        assert res < 1e-12, res
+
     def test_packed_kernel_kchunks_match_fp64(self):
         """The packed pass-loop kernel with nk > 1 k-chunks (w=9 forces
         chunk=256 < nb=512) — the configuration the on-chip nb=2048
