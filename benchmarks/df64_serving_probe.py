@@ -86,8 +86,13 @@ def main():
         try:
             b = jnp.asarray(rng.standard_normal((n, nrhs)).astype(np.float32))
             bl = jnp.zeros_like(b)
+            # engine="matvec": the compact descriptor-table fori
+            # reconstruction — the trmm engine's ~28·nt unrolled dots
+            # jitted as one program ground the remote compile service
+            # for 1h+ at nt=24 (r5 first attempt)
             solve = jax.jit(functools.partial(
-                potrs_packed_df64, n=n, nb=nb, s=s))
+                potrs_packed_df64, n=n, nb=nb, s=s,
+                engine=os.environ.get("DF64SV_ENGINE", "matvec")))
             t0 = time.perf_counter()
             xh, xl = solve(lph, lpl, b, bl)
             _ = float(xh[n - 1, nrhs - 1])

@@ -46,3 +46,7 @@ echo "[runner] ALL DONE (incl. retry)" >> "$R/runner.log"
 echo "[runner] df64 plane on-chip accuracy isolation" >> "$R/runner.log"
 timeout 3600 python benchmarks/df64_plane_isolate.py > "$R/df64_plane_isolate.log" 2>&1
 echo "[runner] isolate rc=$?" >> "$R/runner.log"
+
+echo "[runner] df64 serving probe retry (matvec engine)" >> "$R/runner.log"
+timeout 3600 python benchmarks/df64_serving_probe.py > "$R/df64_serving2.log" 2>&1
+echo "[runner] serving2 rc=$?" >> "$R/runner.log"
