@@ -50,9 +50,10 @@ def main():
 
     from dla_tpu.algos.packed import plgsy_packed
     from dla_tpu.algos.potrf_df64 import (
+        _packed_matvec_df64,
+        _packed_tile_desc,
         potrf_packed_df64,
         potrs_packed_df64,
-        trmm_packed_df64,
     )
     from dla_tpu.ops.df64 import df_sub
 
@@ -104,11 +105,14 @@ def main():
                 _ = float(xh[n - 1, nrhs - 1])
                 times.append(time.perf_counter() - t0)
             t = sorted(times)[1]
-            # df64 posv-style residual ON DEVICE: ||B − L·(Lᵀ·X)||/...
-            th, tl = trmm_packed_df64(lph, lpl, xh, xl, n, nb, trans=True,
-                                      s=s)
-            ph, pl = trmm_packed_df64(lph, lpl, th, tl, n, nb, trans=False,
-                                      s=s)
+            # df64 posv-style residual ON DEVICE via the same compact
+            # matvec programs the solve compiles (cache-shared)
+            desc = jnp.asarray(_packed_tile_desc(n, nb))
+            mv = dict(nb=nb, s=s, w=8, precise_deg=3)
+            th, tl = _packed_matvec_df64(lph, lpl, desc, xh, xl,
+                                         trans=True, **mv)
+            ph, pl = _packed_matvec_df64(lph, lpl, desc, th, tl,
+                                         trans=False, **mv)
             rh, rl = df_sub(b, bl, ph, pl)
             num = float(jnp.max(jnp.abs(rh + rl)))
             den = (float(jnp.max(jnp.abs(b)))
