@@ -134,7 +134,14 @@ def _diag_invs(packed: jax.Array, n: int, tb: int) -> list[jax.Array]:
         if tb > 1024:
             out.append(_solve_lower_blocked(dk, eye, trans=False, ib=512))
         else:
-            out.append(trsm(1.0, dk, eye, side="L", uplo="L", transa=False))
+            # float32-pinned: on TPU the solve's internal dots otherwise
+            # run one bf16 pass (~5e-4 relative), which caps every
+            # refinement built on these inverses at ~eps_t^(r+1) — the
+            # df64 packed serve measured 2.09e-10 (gate FAIL) on chip
+            # before this pin (r5, results_r5/df64_probe.jsonl)
+            with jax.default_matmul_precision("float32"):
+                out.append(trsm(1.0, dk, eye, side="L", uplo="L",
+                                transa=False))
     return out
 
 

@@ -41,6 +41,25 @@ from dla_tpu.ops.lapack_like import plgsy_tile
 
 _F32 = jnp.float32
 
+# On TPU, XLA lowers lax.linalg.cholesky / triangular_solve with internal
+# dots at the GLOBAL default matmul precision — one bf16 pass (~5e-4
+# relative). The df64 refinement contracts error by that factor per
+# iteration, so refine=2 lands at ~eps_t^3 = 1e-10..1e-7 ON CHIP — right
+# at or above the gate (measured r5: the distributed plane came out
+# 1.27e-07, the packed serve 2.09e-10 FAIL; CPU interpret hid both).
+# Pin float32 dots around exactly these calls; every explicitly-pinned
+# dot (the exact bf16 slice products pin DEFAULT) is unaffected.
+
+
+def _chol32(a):
+    with jax.default_matmul_precision("float32"):
+        return lax.linalg.cholesky(a, symmetrize_input=False)
+
+
+def _trsolve32(a, b, **kw):
+    with jax.default_matmul_precision("float32"):
+        return lax.linalg.triangular_solve(a, b, **kw)
+
 
 def _phi(m):
     """Φ(M) = strict lower triangle + half the diagonal (the lower-
@@ -62,17 +81,16 @@ def _factor_diag_df64(akk_h, akk_l, *, refine: int, gemm_kw) -> tuple:
     d_h = jnp.diagflat(jnp.diagonal(akk_h))
     d_l = jnp.diagflat(jnp.diagonal(akk_l))
     akk_h, akk_l = df_add(low_h, low_l, low_h.T - d_h, low_l.T - d_l)
-    l0 = jnp.tril(lax.linalg.cholesky(akk_h, symmetrize_input=False))
+    l0 = jnp.tril(_chol32(akk_h))
     lh, ll = l0, jnp.zeros_like(l0)
     for _ in range(refine):
         ph, pl = df64_matmul_nt(lh, ll, lh, ll, **gemm_kw)
         eh, el = df_sub(akk_h, akk_l, ph, pl)
         # M = L⁻¹ E L⁻ᵀ in fp32 (E ~ eps·|A|: fp32 relative error on the
         # correction is second-order)
-        m1 = lax.linalg.triangular_solve(
-            lh, eh, left_side=True, lower=True)
-        m = lax.linalg.triangular_solve(
-            lh, m1, left_side=False, lower=True, transpose_a=True)
+        m1 = _trsolve32(lh, eh, left_side=True, lower=True)
+        m = _trsolve32(lh, m1, left_side=False, lower=True,
+                       transpose_a=True)
         dl = jnp.matmul(lh, _phi(m), precision=lax.Precision.HIGHEST)
         lh, ll = df_add(lh, ll, dl, jnp.zeros_like(dl))
         lh = jnp.tril(lh)
@@ -83,8 +101,8 @@ def _factor_diag_df64(akk_h, akk_l, *, refine: int, gemm_kw) -> tuple:
 def _panel_solve_df64(lkk_h, lkk_l, bh, bl, *, refine: int, gemm_kw) -> tuple:
     """Solve X·L_kkᵀ = B in df64: fp32 TRSM + df64-residual refinement."""
     def trsm(r):
-        return lax.linalg.triangular_solve(
-            lkk_h, r, left_side=False, lower=True, transpose_a=True)
+        return _trsolve32(lkk_h, r, left_side=False, lower=True,
+                          transpose_a=True)
 
     xh = trsm(bh)
     xl = jnp.zeros_like(xh)
@@ -394,7 +412,7 @@ def potrs_df64(
     gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
 
     def tr(r, transpose):
-        return lax.linalg.triangular_solve(
+        return _trsolve32(
             lh, r, left_side=True, lower=True, transpose_a=transpose)
 
     def refine_solve(rh_in, rl_in, transpose, op_h, op_l):
