@@ -162,9 +162,10 @@ SINGLE_CHIP_DF64_GFLOPS = {
     4096: 477.0,
     8192: 1713.0,
     16384: 3180.0,
-    24576: 3943.0,
-    32768: 4034.0,
-    40960: 4458.0,  # packed df64 record (pair = 4 bytes/logical elem x2)
+    24576: 3906.0,   # r5 bench f64x tier (v6-exact gate 4.19e-11)
+    32768: 4315.0,   # r5 dense frontier (v6-exact gate 4.43e-11)
+    40960: 4628.0,   # r5 packed, Freivalds 7.21e-14
+    46080: 4755.0,   # r5 packed record (compile wall sits at 48128)
 }
 
 # tier name → (measured v5e curve, ChipSpec.tflops ceiling key used to

@@ -272,7 +272,7 @@ class TestDf64MeshProjection:
         from dla_tpu.parallel.model import project_packed_cyclic
 
         # measured knots (results_r4/df64_probe.jsonl medians)
-        assert single_chip_rate(40960, tier="f64x") == pytest.approx(4458.0)
+        assert single_chip_rate(46080, tier="f64x") == pytest.approx(4755.0)
         assert single_chip_rate(16384, tier="f64x") == pytest.approx(3180.0)
         r = project_packed_cyclic(65536, 4096, 8, tier="f64x", planes=2)
         assert 0 < r["comm_fraction"] < 1
