@@ -50,3 +50,10 @@ echo "[runner] isolate rc=$?" >> "$R/runner.log"
 echo "[runner] df64 serving probe retry (matvec engine)" >> "$R/runner.log"
 timeout 3600 python benchmarks/df64_serving_probe.py > "$R/df64_serving2.log" 2>&1
 echo "[runner] serving2 rc=$?" >> "$R/runner.log"
+
+echo "[runner] linalg accuracy matrix (default)" >> "$R/runner.log"
+timeout 2400 python benchmarks/df64_linalg_matrix.py > "$R/df64_linalg_matrix_default.log" 2>&1
+echo "[runner] matrix-default rc=$?" >> "$R/runner.log"
+echo "[runner] linalg accuracy matrix (float32 global)" >> "$R/runner.log"
+JAX_DEFAULT_MATMUL_PRECISION=float32 timeout 2400 python benchmarks/df64_linalg_matrix.py > "$R/df64_linalg_matrix_f32.log" 2>&1
+echo "[runner] matrix-f32 rc=$?" >> "$R/runner.log"
