@@ -85,7 +85,10 @@ def main():
             log(f"[{name}] CRASH")
             traceback.print_exc(file=sys.stdout)
 
-    # C: the _solve branch alone under shard_map on the chip
+    # C: the _solve branch under shard_map / plain jit, nb 128 / 1024 —
+    # the r4 single-chip potrf_df64 (nb=1024, plain jit) measured
+    # df64-grade on this chip while the plane (nb=128, shard_map) did
+    # not: these four cells split block size from shard_map wrapping.
     try:
         from jax.sharding import PartitionSpec as P
 
@@ -103,25 +106,40 @@ def main():
                 lkk_h, lkk_l, ch, cl, refine=2, gemm_kw=gemm_kw)
             return lkk_h, lkk_l, sh, sl_
 
-        f = jax.jit(jax.shard_map(
-            solve_local, mesh=mesh1,
-            in_specs=(P(None, None),) * 4, out_specs=(P(None, None),) * 4,
-            check_vma=False))
-        dh, dl = np.asarray(ah)[:nb, :nb], np.asarray(al)[:nb, :nb]
-        ch, cl = np.asarray(ah)[nb:, :nb], np.asarray(al)[nb:, :nb]
-        lkk_h, lkk_l, sh, sl_ = f(jnp.asarray(dh), jnp.asarray(dl),
-                                  jnp.asarray(ch), jnp.asarray(cl))
-        lkk = np.asarray(lkk_h, np.float64) + np.asarray(lkk_l, np.float64)
-        sol = np.asarray(sh, np.float64) + np.asarray(sl_, np.float64)
-        dkk = a[:nb, :nb]
-        ref_kk = scipy.linalg.cholesky(dkk, lower=True)
-        e1 = np.max(np.abs(lkk - ref_kk)) / np.max(np.abs(ref_kk))
-        ref_sol = scipy.linalg.solve_triangular(
-            ref_kk, a[nb:, :nb].T, lower=True).T
-        e2 = np.max(np.abs(sol - ref_sol)) / np.max(np.abs(ref_sol))
-        log(f"[C solve-branch on chip] diag factor err {e1:.3e}, "
-            f"panel solve err {e2:.3e} "
-            f"({'df64-grade' if max(e1, e2) < 1e-11 else 'DEGRADED'})")
+        def run_solve(nb_c, shard):
+            n_c = 4 * nb_c
+            g = np.random.default_rng(5).standard_normal((n_c, n_c))
+            ac = (g + g.T) / 2 + n_c * np.eye(n_c)
+            ah_c, al_c = to_df64(ac)
+            if shard:
+                f = jax.jit(jax.shard_map(
+                    solve_local, mesh=mesh1,
+                    in_specs=(P(None, None),) * 4,
+                    out_specs=(P(None, None),) * 4,
+                    check_vma=False))
+            else:
+                f = jax.jit(solve_local)
+            dh = np.asarray(ah_c)[:nb_c, :nb_c]
+            dl = np.asarray(al_c)[:nb_c, :nb_c]
+            ch = np.asarray(ah_c)[nb_c:, :nb_c]
+            cl = np.asarray(al_c)[nb_c:, :nb_c]
+            lkk_h, lkk_l, sh, sl_ = f(jnp.asarray(dh), jnp.asarray(dl),
+                                      jnp.asarray(ch), jnp.asarray(cl))
+            lkk = (np.asarray(lkk_h, np.float64)
+                   + np.asarray(lkk_l, np.float64))
+            sol = np.asarray(sh, np.float64) + np.asarray(sl_, np.float64)
+            ref_kk = scipy.linalg.cholesky(ac[:nb_c, :nb_c], lower=True)
+            e1 = np.max(np.abs(lkk - ref_kk)) / np.max(np.abs(ref_kk))
+            ref_sol = scipy.linalg.solve_triangular(
+                ref_kk, ac[nb_c:, :nb_c].T, lower=True).T
+            e2 = np.max(np.abs(sol - ref_sol)) / np.max(np.abs(ref_sol))
+            log(f"[C nb={nb_c} shard_map={shard}] diag factor err "
+                f"{e1:.3e}, panel solve err {e2:.3e} "
+                f"({'df64-grade' if max(e1, e2) < 1e-11 else 'DEGRADED'})")
+
+        for nb_c in (128, 1024):
+            for shard in (True, False):
+                run_solve(nb_c, shard)
     except Exception:
         log("[C solve-branch] CRASH")
         traceback.print_exc(file=sys.stdout)

@@ -57,3 +57,7 @@ echo "[runner] matrix-default rc=$?" >> "$R/runner.log"
 echo "[runner] linalg accuracy matrix (float32 global)" >> "$R/runner.log"
 JAX_DEFAULT_MATMUL_PRECISION=float32 timeout 2400 python benchmarks/df64_linalg_matrix.py > "$R/df64_linalg_matrix_f32.log" 2>&1
 echo "[runner] matrix-f32 rc=$?" >> "$R/runner.log"
+
+echo "[runner] isolate v2 (C matrix: nb x shard_map)" >> "$R/runner.log"
+timeout 3600 python benchmarks/df64_plane_isolate.py > "$R/df64_plane_isolate2.log" 2>&1
+echo "[runner] isolate2 rc=$?" >> "$R/runner.log"
