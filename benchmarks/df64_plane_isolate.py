@@ -144,6 +144,52 @@ def main():
         log("[C solve-branch] CRASH")
         traceback.print_exc(file=sys.stdout)
 
+    # D: the plane's TRAILING math in isolation — pre-sliced reuse
+    # (slice_rows once + lax.dynamic_slice row sub-ranges, the plane's
+    # path) vs internal slicing (df64_matmul_nt from the (hi, lo) pair,
+    # the path probe C exonerated), both on chip vs fp64.
+    try:
+        import functools
+
+        from jax import lax
+
+        from dla_tpu.ops.df64 import df64_matmul_nt, slice_rows
+
+        rng = np.random.default_rng(7)
+        rows, nbd = 384, 128
+        x = rng.standard_normal((rows, nbd))
+        xh_, xl_ = to_df64(x)
+        ref = x @ x[:nbd].T
+
+        @functools.partial(jax.jit, static_argnames=("s", "w", "pd"))
+        def direct(h, l, *, s, w, pd):
+            return df64_matmul_nt(h, l, h[:nbd], l[:nbd],
+                                  s=s, w=w, precise_deg=pd)
+
+        @functools.partial(jax.jit, static_argnames=("s", "w", "pd"))
+        def reuse(h, l, op, *, s, w, pd):
+            sx = slice_rows(h, l, s=s, w=w)[0]
+            z0 = jnp.zeros_like(op)
+            sa = [lax.dynamic_slice(sl, (op, z0), (rows, nbd))
+                  for sl in sx]
+            sb = [lax.dynamic_slice(sl, (op, z0), (nbd, nbd)) for sl in sx]
+            return df64_matmul_nt(None, None, None, None, slices_a=sa,
+                                  slices_b=sb, s=s, w=w, precise_deg=pd)
+
+        for name, fn in (("direct", lambda: direct(xh_, xl_, s=7, w=8,
+                                                   pd=3)),
+                         ("reuse", lambda: reuse(xh_, xl_,
+                                                 jnp.int32(0), s=7, w=8,
+                                                 pd=3))):
+            ph, pl = fn()
+            got = np.asarray(ph, np.float64) + np.asarray(pl, np.float64)
+            err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+            log(f"[D trailing {name}] rel err vs fp64: {err:.3e} "
+                f"({'df64-grade' if err < 1e-12 else 'DEGRADED'})")
+    except Exception:
+        log("[D trailing] CRASH")
+        traceback.print_exc(file=sys.stdout)
+
     log("isolation probe complete")
 
 

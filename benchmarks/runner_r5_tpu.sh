@@ -61,3 +61,7 @@ echo "[runner] matrix-f32 rc=$?" >> "$R/runner.log"
 echo "[runner] isolate v2 (C matrix: nb x shard_map)" >> "$R/runner.log"
 timeout 3600 python benchmarks/df64_plane_isolate.py > "$R/df64_plane_isolate2.log" 2>&1
 echo "[runner] isolate2 rc=$?" >> "$R/runner.log"
+
+echo "[runner] isolate v3 (trailing slice-reuse probe D)" >> "$R/runner.log"
+timeout 3600 python benchmarks/df64_plane_isolate.py > "$R/df64_plane_isolate3.log" 2>&1
+echo "[runner] isolate3 rc=$?" >> "$R/runner.log"
