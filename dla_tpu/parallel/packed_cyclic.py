@@ -230,6 +230,7 @@ def potrf_packed_cyclic(
 
 def _potrf_local_packed_df64(xh, xl, *, nb: int, nt: int, ndev: int,
                              s: int, w: int, precise_deg: int, refine: int,
+                             slice_reuse: bool,
                              interpret: bool | None):
     """Per-device SPMD df64 program (under shard_map on the flat mesh).
 
@@ -308,7 +309,10 @@ def _potrf_local_packed_df64(xh, xl, *, nb: int, nt: int, ndev: int,
             pan_l = jnp.concatenate([pan_l, z], axis=0)
         # slice the received panel ONCE per step; per-slab row sub-ranges
         # of the slice set are themselves valid slice sets
-        sx = slice_rows(pan_h, pan_l, s=s, w=w)[0]
+        # (slice_reuse=False: re-slice per slab from the (hi, lo) planes
+        # instead — the r5 on-chip isolation lever)
+        sx = (slice_rows(pan_h, pan_l, s=s, w=w)[0]
+              if slice_reuse else None)
 
         # -- df64 trailing update over owned slabs right of k ------------
         for lj in range(ltc):
@@ -318,12 +322,20 @@ def _potrf_local_packed_df64(xh, xl, *, nb: int, nt: int, ndev: int,
             live = gcol > k
             op = jnp.maximum((gcol - k - 1) * nb, 0)
             z0 = jnp.zeros_like(op)
-            sa = [lax.dynamic_slice(sl, (op, z0), (hs[lj], nb))
-                  for sl in sx]
-            sb = [lax.dynamic_slice(sl, (op, z0), (nb, nb)) for sl in sx]
-            uh, ul = df64_matmul_nt(
-                None, None, None, None, slices_a=sa, slices_b=sb,
-                **gemm_kw)
+            if slice_reuse:
+                sa = [lax.dynamic_slice(sl, (op, z0), (hs[lj], nb))
+                      for sl in sx]
+                sb = [lax.dynamic_slice(sl, (op, z0), (nb, nb))
+                      for sl in sx]
+                uh, ul = df64_matmul_nt(
+                    None, None, None, None, slices_a=sa, slices_b=sb,
+                    **gemm_kw)
+            else:
+                arh = lax.dynamic_slice(pan_h, (op, z0), (hs[lj], nb))
+                arl = lax.dynamic_slice(pan_l, (op, z0), (hs[lj], nb))
+                bh_ = lax.dynamic_slice(pan_h, (op, z0), (nb, nb))
+                bl_ = lax.dynamic_slice(pan_l, (op, z0), (nb, nb))
+                uh, ul = df64_matmul_nt(arh, arl, bh_, bl_, **gemm_kw)
             slab_h = lax.dynamic_slice(
                 xh, (off[lj], 0), (hs[lj], nb))
             slab_l = lax.dynamic_slice(
@@ -339,14 +351,14 @@ def _potrf_local_packed_df64(xh, xl, *, nb: int, nt: int, ndev: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "nb", "mesh", "s", "w", "precise_deg", "refine",
-                     "interpret"))
+                     "slice_reuse", "interpret"))
 def _potrf_df64_jit_n(xh, xl, n, nb, mesh, s, w, precise_deg, refine,
-                      interpret):
+                      slice_reuse, interpret):
     nt = n // nb
     local = functools.partial(
         _potrf_local_packed_df64, nb=nb, nt=nt, ndev=mesh.size,
         s=s, w=w, precise_deg=precise_deg, refine=refine,
-        interpret=interpret,
+        slice_reuse=slice_reuse, interpret=interpret,
     )
     return jax.shard_map(
         local, mesh=mesh,
@@ -367,6 +379,7 @@ def potrf_packed_cyclic_df64(
     w: int = 8,
     precise_deg: int = 3,
     refine: int = 2,
+    slice_reuse: bool = True,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed **emulated-fp64** POTRF of a packed column-cyclic
@@ -396,7 +409,8 @@ def potrf_packed_cyclic_df64(
             f"packed pair shapes {xh.shape}/{xl.shape} != {want}"
             " — build them with pack_cols_packed")
     return _potrf_df64_jit_n(
-        xh, xl, n, nb, mesh, s, w, precise_deg, refine, interpret)
+        xh, xl, n, nb, mesh, s, w, precise_deg, refine, slice_reuse,
+        interpret)
 
 
 def resident_elems(n: int, nb: int, ndev: int) -> tuple[int, int]:
