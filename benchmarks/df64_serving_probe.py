@@ -52,6 +52,7 @@ def main():
     from dla_tpu.algos.potrf_df64 import (
         _packed_matvec_df64,
         _packed_tile_desc,
+        _strip_abs_rowsums_gen,
         potrf_packed_df64,
         potrs_packed_df64,
     )
@@ -115,8 +116,15 @@ def main():
                                          trans=False, **mv)
             rh, rl = df_sub(b, bl, ph, pl)
             num = float(jnp.max(jnp.abs(rh + rl)))
-            den = (float(jnp.max(jnp.abs(b)))
-                   * float(jnp.max(jnp.abs(xh + xl))))
+            # denominator: the posv convention ||A||_inf * ||X||_inf
+            # (first attempt used ||B|| — ~5000x too small at this n,
+            # which read the df64-matvec truncation noise as a 2e-10
+            # gate FAIL; the solve itself is df64-grade)
+            anorm = 0.0
+            for r0 in range(0, n, 1024):
+                anorm = max(anorm, float(jnp.max(_strip_abs_rowsums_gen(
+                    51, r0, rc=1024, n=n, bump=float(n)))))
+            den = anorm * float(jnp.max(jnp.abs(xh + xl)))
             res = num / den
             emit({"kind": "df64_serving", "n": n, "nb": nb, "s": s,
                   "nrhs": nrhs, "t_s": round(t, 4),

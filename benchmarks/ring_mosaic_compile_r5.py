@@ -76,7 +76,6 @@ def main():
     def p1():
         import scipy.linalg
 
-        from dla_tpu.ops import plgsy
         from dla_tpu.ops.df64 import to_df64
         from dla_tpu.parallel import (
             pack_cols_packed,
@@ -85,7 +84,12 @@ def main():
         )
 
         n, nb = 512, 128
-        a = np.asarray(plgsy(n, seed=13, dtype=jnp.float64))
+        # HOST-built fp64 A: plgsy(dtype=float64) on an un-x64 TPU
+        # process silently returns float32 values, which made the
+        # scipy fp64 reference itself fp32-grade — the first probe's
+        # 1.27e-07 "failure" was the REFERENCE's error (r5 isolation)
+        g = np.random.default_rng(13).standard_normal((n, n))
+        a = (g + g.T) / 2 + n * np.eye(n)
         ah, al = to_df64(a)
         xh = pack_cols_packed(np.asarray(ah), nb, mesh1)
         xl = pack_cols_packed(np.asarray(al), nb, mesh1)
@@ -124,7 +128,7 @@ def main():
         _, _, _, off = packed_cyclic._geometry(n, nb, ndev)
         x = jax.ShapeDtypeStruct((off[-1] * ndev, nb), jnp.float32)
         lowered = packed_cyclic._potrf_df64_jit_n.lower(
-            x, x, n, nb, tmesh, 7, 8, 3, 2, None)
+            x, x, n, nb, tmesh, 7, 8, 3, 2, True, None)
         compiled = lowered.compile()
         del compiled
         return ("full 8-device packed column-cyclic DF64 factorization "

@@ -41,14 +41,16 @@ from dla_tpu.ops.lapack_like import plgsy_tile
 
 _F32 = jnp.float32
 
-# On TPU, XLA lowers lax.linalg.cholesky / triangular_solve with internal
-# dots at the GLOBAL default matmul precision — one bf16 pass (~5e-4
-# relative). The df64 refinement contracts error by that factor per
-# iteration, so refine=2 lands at ~eps_t^3 = 1e-10..1e-7 ON CHIP — right
-# at or above the gate (measured r5: the distributed plane came out
-# 1.27e-07, the packed serve 2.09e-10 FAIL; CPU interpret hid both).
-# Pin float32 dots around exactly these calls; every explicitly-pinned
-# dot (the exact bf16 slice products pin DEFAULT) is unaffected.
+# NOTE (r5): lax.linalg.cholesky / triangular_solve measured FP32-GRADE
+# on this chip at every size and flavor (1.5e-7 / 2.4e-7 — the on-chip
+# accuracy matrix, results_r5/df64_linalg_matrix.jsonl), so the df64
+# refinement's eps_t is ~2e-7 and refine=2 reaches the df64 floor. Two
+# r5 probe "failures" that suggested otherwise were METER artifacts
+# (fp32 scipy reference from un-x64 plgsy-on-TPU; a ||B||-instead-of-
+# ||A|| denominator) — see docs/STATUS_r5.md. The thin wrappers below
+# also pin float32 via the global-default context; numerically a no-op
+# here, kept as cheap insurance against backend default changes (the
+# context covers op creation at trace/lowering of THESE helpers).
 
 
 def _chol32(a):
