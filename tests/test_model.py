@@ -414,8 +414,13 @@ class TestOocoreComboProjection:
 
         r = project_oocore_combo(49152)
         assert abs(r["t_total_s"] - 994.1) / 994.1 < 0.10, r["t_total_s"]
+        # r5 quiet-window re-pin: 350.6 s (33.46 GF/s, Freivalds
+        # 3.52e-07 PASS — results_r5/oocore_combo_repin_n32768.log);
+        # the r4 385.6 s ran under a concurrent TPU campaign and sat
+        # at -16% — the contention explanation is now MEASURED (model
+        # -7.5% vs the quiet run, inside the standard +/-10% gate)
         r = project_oocore_combo(32768)
-        assert abs(r["t_total_s"] - 385.6) / 385.6 < 0.20, r["t_total_s"]
+        assert abs(r["t_total_s"] - 350.6) / 350.6 < 0.10, r["t_total_s"]
 
 
 class TestServingSharded:
