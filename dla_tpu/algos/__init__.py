@@ -21,6 +21,7 @@ from dla_tpu.algos.potrf_df64 import (  # noqa: F401
     freivalds_potrf_df64,
     potrf_df64,
     potrf_packed_df64,
+    potrf_packed_df64_split,
     potrs_df64,
     potrs_packed_df64,
     residual_potrf_df64,

@@ -219,6 +219,8 @@ def potrf_packed_df64(
     s: int = 7,
     w: int = 8,
     precise_deg: int = 3,
+    k0: int = 0,
+    k1: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Right-looking df64 POTRF **in packed space**: the (hi, lo) pair is
     two column-slab packed lower triangles (``dla_tpu.algos.packed``
@@ -236,7 +238,14 @@ def potrf_packed_df64(
 
     Capability beyond the reference: its fp64 path is dense full-square
     storage (``v6_test.c:41-47``); packed×df64 combines the two rebuild
-    extensions (triangle-only storage, on-chip 1e-10 factorization)."""
+    extensions (triangle-only storage, on-chip 1e-10 factorization).
+
+    ``k0``/``k1`` (static) restrict execution to slab steps
+    ``[k0, k1)`` — the building block :func:`potrf_packed_df64_split`
+    uses to break the factorization into several smaller jitted
+    programs, clearing the remote compile service's program×footprint
+    wall (r5 bracket: 45 unrolled steps at an 8.09 GiB pair compile OK,
+    47 at 8.81 GiB crash the helper; the N=49152 monolith is past it)."""
     from dla_tpu.algos.packed import _check, _set_col, col_slab
     from dla_tpu.kernels.df64_tiles import trailing_update_packed_df64
 
@@ -245,9 +254,13 @@ def potrf_packed_df64(
         raise ValueError(f"need ktb | nb (nb={nb}, ktb={ktb})")
     gemm_kw = dict(s=s, w=w, precise_deg=precise_deg)
     nt = n // nb
+    if k1 is None:
+        k1 = nt
+    if not 0 <= k0 <= k1 <= nt:
+        raise ValueError(f"need 0 <= k0 <= k1 <= nt, got [{k0}, {k1})")
     aph = aph.astype(_F32)
     apl = apl.astype(_F32)
-    for k in range(nt):
+    for k in range(k0, k1):
         ch = col_slab(aph, k, n, nb)
         cl = col_slab(apl, k, n, nb)
         lkk_h, lkk_l = _factor_diag_df64(
@@ -267,6 +280,66 @@ def potrf_packed_df64(
             aph, apl = trailing_update_packed_df64(
                 aph, apl, sx, n=n, nb=nb, k=k, tb=ktb, w=w,
                 precise_deg=precise_deg)
+    return aph, apl
+
+
+_PACKED_FAC_JIT = None
+
+
+def _packed_fac_jit():
+    """Shared jitted potrf_packed_df64 for the split path — one wrapper
+    per process so repeated split runs reuse cached executables instead
+    of paying this service's 45-90 s remote program load per segment
+    per call (CLAUDE.md: memoize jit objects)."""
+    global _PACKED_FAC_JIT
+    if _PACKED_FAC_JIT is None:
+        _PACKED_FAC_JIT = jax.jit(
+            potrf_packed_df64,
+            static_argnames=("n", "nb", "ktb", "refine", "s", "w",
+                             "precise_deg", "k0", "k1"),
+            donate_argnums=(0, 1),
+        )
+    return _PACKED_FAC_JIT
+
+
+def potrf_packed_df64_split(
+    aph: jax.Array,
+    apl: jax.Array,
+    n: int,
+    nb: int,
+    *,
+    split: int = 2,
+    ktb: int = 512,
+    refine: int = 2,
+    s: int = 7,
+    w: int = 8,
+    precise_deg: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`potrf_packed_df64` executed as ``split`` host-sequenced
+    jitted segment programs of ~nt/split slab steps each, the pair
+    donated through the chain — numerically identical to the monolith
+    (same step sequence, only the jit boundaries move), but each
+    program is a fraction of the monolith's size. This is the route
+    past the remote compile service's program×footprint wall
+    (ROADMAP r5: N=46080/nt=45 OK, N=48128/nt=47 HTTP-500, and a
+    trivial donated program over the full N=49152 pair compiles fine —
+    so shrinking the *program*, not the footprint, is what unlocks
+    N≥48128). Costs ``split`` compiles + remote program loads
+    (~45-90 s each on this tunneled service) instead of one.
+
+    Reference scope: N-scaling is the reference sweep's whole axis
+    (``benchmark.c:76-80``); its fp64 path stops where dense
+    ``double[N*N]`` storage stops, with no analogue of this wall."""
+    if split < 1:
+        raise ValueError(f"split must be >= 1, got {split}")
+    nt = n // nb
+    split = min(split, nt)
+    fac = _packed_fac_jit()
+    bounds = [round(i * nt / split) for i in range(split + 1)]
+    for i in range(split):
+        aph, apl = fac(
+            aph, apl, n, nb, ktb=ktb, refine=refine, s=s, w=w,
+            precise_deg=precise_deg, k0=bounds[i], k1=bounds[i + 1])
     return aph, apl
 
 

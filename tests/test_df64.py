@@ -431,6 +431,32 @@ class TestPotrfPackedDf64:
         with pytest.raises(ValueError, match="ktb"):
             potrf_packed_df64(z, z, 512, 128, ktb=96)
 
+    @pytest.mark.parametrize("split", [2, 3, 8])
+    def test_split_matches_monolith(self, split):
+        """Segmented execution (the compile-wall route, potrf_packed_
+        df64_split) runs the same step sequence across several jitted
+        programs — the factor must match the monolith and the residual
+        must hold the 1e-10 gate. split=8 > nt exercises the clamp."""
+        from dla_tpu.algos.packed import pack_tri, unpack_tri
+        from dla_tpu.algos.potrf_df64 import (
+            potrf_packed_df64, potrf_packed_df64_split)
+
+        n, nb, ktb = 512, 128, 128
+        a = self._spd(n)
+        ah, al = D.to_df64(a)
+        mh, ml = potrf_packed_df64(
+            pack_tri(ah, nb), pack_tri(al, nb), n, nb, ktb=ktb)
+        sh, sl = potrf_packed_df64_split(
+            pack_tri(ah, nb), pack_tri(al, nb), n, nb, split=split,
+            ktb=ktb)
+        m = np.asarray(D.from_df64(unpack_tri(mh, n, nb),
+                                   unpack_tri(ml, n, nb)))
+        p = np.asarray(D.from_df64(unpack_tri(sh, n, nb),
+                                   unpack_tri(sl, n, nb)))
+        np.testing.assert_allclose(p, m, rtol=0, atol=1e-12)
+        res = np.abs(a - p @ p.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res
+
     def test_potrs_packed_df64_meets_posv_gate(self):
         """Factor + solve entirely in df64 ON PACKED STORAGE must meet
         the reference's 1e-10 posv gate (v6_test.c:87) vs true fp64 —
