@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
         "~n*2^-56 — 100x gate margin; 6 = 21 passes, sits AT 1e-10 by N=4096)",
     )
     ap.add_argument(
+        "--df64-split", type=int, default=1,
+        help="df64-packed mode: execute the factorization as this many "
+        "host-sequenced jitted segment programs (pair donated through) "
+        "instead of one monolith — the route past the remote-compile "
+        "program-size wall at N>=48128 (ROADMAP r5 bracket); costs one "
+        "compile+program-load per segment",
+    )
+    ap.add_argument(
         "--checked", action="store_true",
         help="run the checkified factorization: non-SPD input raises a "
         "functional error with a message instead of silent NaNs (the "
@@ -457,13 +465,20 @@ def main(argv=None) -> int:
             import functools as _ft
 
             from dla_tpu.algos.packed import pack_tri, plgsy_packed
-            from dla_tpu.algos.potrf_df64 import potrf_packed_df64
+            from dla_tpu.algos.potrf_df64 import (
+                potrf_packed_df64, potrf_packed_df64_split)
 
-            fac_p = jax.jit(
-                _ft.partial(potrf_packed_df64, n=cfg.n, nb=cfg.nb,
-                            ktb=min(512, cfg.nb), s=df64_slices),
-                donate_argnums=(0, 1),
-            )
+            if args.df64_split > 1:
+                fac_p = _ft.partial(
+                    potrf_packed_df64_split, n=cfg.n, nb=cfg.nb,
+                    split=args.df64_split, ktb=min(512, cfg.nb),
+                    s=df64_slices)
+            else:
+                fac_p = jax.jit(
+                    _ft.partial(potrf_packed_df64, n=cfg.n, nb=cfg.nb,
+                                ktb=min(512, cfg.nb), s=df64_slices),
+                    donate_argnums=(0, 1),
+                )
             if df64_pure:
                 gen_p = jax.jit(lambda: plgsy_packed(
                     cfg.n, cfg.nb, bump=bump, seed=cfg.seed,

@@ -247,6 +247,18 @@ class TestDriverEndToEnd:
         assert "Performance:" in r.stdout
         assert "PASS (residual < 1e-10)" in r.stdout
 
+    def test_driver_df64_packed_split(self):
+        """--df64-split 3: segmented-program execution (the compile-wall
+        route) through the driver must meet the same 1e-10 contract."""
+        r = _run(
+            [sys.executable, "-m", "dla_tpu.cli.potrf_driver",
+             "--n", "256", "--nb", "64", "--mode", "df64-packed",
+             "--df64-split", "3", "--platform", "cpu"]
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "Performance:" in r.stdout
+        assert "PASS (residual < 1e-10)" in r.stdout
+
     def test_driver_df64_packed_record_gate(self):
         """Pure df64-packed past the unpack HBM budget (env-lowered
         here): the driver must certify DIRECTLY off the packed pair via
