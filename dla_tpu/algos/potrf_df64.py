@@ -329,10 +329,16 @@ def potrf_packed_df64_split(
 
     Reference scope: N-scaling is the reference sweep's whole axis
     (``benchmark.c:76-80``); its fp64 path stops where dense
-    ``double[N*N]`` storage stops, with no analogue of this wall."""
-    if split < 1:
-        raise ValueError(f"split must be >= 1, got {split}")
+    ``double[N*N]`` storage stops, with no analogue of this wall.
+
+    ``split=0`` auto-sizes: the fewest segments keeping every program
+    at <= 40 unrolled steps (safely inside the measured 45-OK/47-crash
+    bracket), i.e. 1 segment through N=40·nb and growing as N does."""
+    if split < 0:
+        raise ValueError(f"split must be >= 0, got {split}")
     nt = n // nb
+    if split == 0:
+        split = -(-nt // 40)
     split = min(split, nt)
     fac = _packed_fac_jit()
     bounds = [round(i * nt / split) for i in range(split + 1)]

@@ -431,6 +431,23 @@ class TestPotrfPackedDf64:
         with pytest.raises(ValueError, match="ktb"):
             potrf_packed_df64(z, z, 512, 128, ktb=96)
 
+    def test_split_auto_sizing(self):
+        """split=0 (auto: ceil(nt/40) segments, <= 40 steps/program —
+        inside the measured compile-wall bracket) must execute and meet
+        the gate; at nt=4 it degenerates to the monolith."""
+        from dla_tpu.algos.packed import pack_tri, unpack_tri
+        from dla_tpu.algos.potrf_df64 import potrf_packed_df64_split
+
+        n, nb = 256, 64
+        a = self._spd(n)
+        ah, al = D.to_df64(a)
+        sh, sl = potrf_packed_df64_split(
+            pack_tri(ah, nb), pack_tri(al, nb), n, nb, split=0, ktb=64)
+        p = np.asarray(D.from_df64(unpack_tri(sh, n, nb),
+                                   unpack_tri(sl, n, nb)))
+        res = np.abs(a - p @ p.T).sum(1).max() / np.abs(a).sum(1).max()
+        assert res < 1e-11, res
+
     @pytest.mark.parametrize("split", [2, 3, 8])
     def test_split_matches_monolith(self, split):
         """Segmented execution (the compile-wall route, potrf_packed_
